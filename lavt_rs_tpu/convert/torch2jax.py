@@ -1,0 +1,295 @@
+"""PyTorch-checkpoint -> JAX pytree converter.
+
+Converts reference LAVT/LAVT-one/LAVT-video checkpoints (and raw HF BERT /
+ImageNet Swin / Kinetics Video-Swin checkpoints) into this framework's flax
+variable trees.  Mirrors the reference's weight-import behaviors:
+  * prefix stripping ('module.', 'backbone.', MoBY 'encoder.')
+    — reference lib/mmcv_custom/checkpoint.py:287-330
+  * relative-position-bias bicubic interpolation when window size differs
+    — reference lib/mmcv_custom/checkpoint.py:340-356
+  * 2D->3D inflation (patch-embed temporal handling, rel-pos temporal tiling)
+    — reference lib/_utils.py:133-238, lib/video_swin_transformer.py:811-852
+
+Layout rules (torch -> flax):
+  * Linear / 1x1 Conv1d:  weight (out, in[, 1]) -> kernel (in, out)
+  * Conv2d:               weight (out, in, kh, kw) -> kernel (kh, kw, in, out)
+  * Conv3d:               weight (out, in, kd, kh, kw) -> (kd, kh, kw, in, out)
+  * LayerNorm/BatchNorm:  weight -> scale
+  * Embedding:            weight -> embedding
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+
+
+Array = np.ndarray
+FlatDict = Dict[str, Array]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> FlatDict:
+    """Load a .pth checkpoint into {name: np.ndarray} (CPU, no grad)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "module"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+            break
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in ckpt.items() if hasattr(v, "shape")}
+
+
+def strip_prefixes(sd: FlatDict) -> FlatDict:
+    """Strip 'module.' everywhere; strip a uniform 'backbone.'/'encoder.'."""
+    out = {k[len("module."):] if k.startswith("module.") else k: v
+           for k, v in sd.items()}
+    for pfx in ("backbone.", "encoder."):
+        if out and all(k.startswith(pfx) for k in out):
+            out = {k[len(pfx):]: v for k, v in out.items()}
+    return out
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: Array):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _lin(w: Array) -> Array:
+    """Linear or kernel-1 Conv1d weight -> Dense kernel."""
+    if w.ndim == 3:  # (out, in, 1)
+        w = w[:, :, 0]
+    return np.ascontiguousarray(w.T)
+
+
+def _conv2d(w: Array) -> Array:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _conv3d(w: Array) -> Array:
+    return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0))
+
+
+def interpolate_rel_pos_bias(table: Array, dst_window: Tuple[int, int]) -> Array:
+    """Bicubic-resize a 2D relative-position-bias table to a new window size
+    (reference lib/mmcv_custom/checkpoint.py:340-356).
+
+    table: ((2*Ws-1)^2, nH) -> ((2*Wd-1)*(2*Wd'-1), nH).
+    """
+    l1, nh = table.shape
+    s1 = int(round(l1**0.5))
+    d1, d2 = 2 * dst_window[0] - 1, 2 * dst_window[1] - 1
+    if (s1, s1) == (d1, d2):
+        return table
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(table.astype(np.float32)))
+    t = t.permute(1, 0).view(1, nh, s1, s1)
+    t = F.interpolate(t, size=(d1, d2), mode="bicubic")
+    return t.view(nh, d1 * d2).permute(1, 0).contiguous().numpy()
+
+
+# ---------------------------------------------------------------------------
+# BERT
+# ---------------------------------------------------------------------------
+
+def convert_bert(sd: FlatDict, num_layers: int = 12,
+                 prefix: str = "") -> dict:
+    """HF BertModel state_dict -> BertEncoder params subtree."""
+    p = prefix
+    tree: dict = {}
+    emb = f"{p}embeddings."
+    _set(tree, ("word_embeddings", "embedding"),
+         sd[f"{emb}word_embeddings.weight"])
+    _set(tree, ("position_embeddings", "embedding"),
+         sd[f"{emb}position_embeddings.weight"])
+    _set(tree, ("token_type_embeddings", "embedding"),
+         sd[f"{emb}token_type_embeddings.weight"])
+    _set(tree, ("embeddings_layernorm", "scale"), sd[f"{emb}LayerNorm.weight"])
+    _set(tree, ("embeddings_layernorm", "bias"), sd[f"{emb}LayerNorm.bias"])
+    for i in range(num_layers):
+        src = f"{p}encoder.layer.{i}."
+        dst = f"layer_{i}"
+        for name in ("query", "key", "value"):
+            _set(tree, (dst, "attention", name, "kernel"),
+                 _lin(sd[f"{src}attention.self.{name}.weight"]))
+            _set(tree, (dst, "attention", name, "bias"),
+                 sd[f"{src}attention.self.{name}.bias"])
+        _set(tree, (dst, "attention_output", "kernel"),
+             _lin(sd[f"{src}attention.output.dense.weight"]))
+        _set(tree, (dst, "attention_output", "bias"),
+             sd[f"{src}attention.output.dense.bias"])
+        _set(tree, (dst, "attention_layernorm", "scale"),
+             sd[f"{src}attention.output.LayerNorm.weight"])
+        _set(tree, (dst, "attention_layernorm", "bias"),
+             sd[f"{src}attention.output.LayerNorm.bias"])
+        _set(tree, (dst, "intermediate", "kernel"),
+             _lin(sd[f"{src}intermediate.dense.weight"]))
+        _set(tree, (dst, "intermediate", "bias"),
+             sd[f"{src}intermediate.dense.bias"])
+        _set(tree, (dst, "output", "kernel"),
+             _lin(sd[f"{src}output.dense.weight"]))
+        _set(tree, (dst, "output", "bias"), sd[f"{src}output.dense.bias"])
+        _set(tree, (dst, "output_layernorm", "scale"),
+             sd[f"{src}output.LayerNorm.weight"])
+        _set(tree, (dst, "output_layernorm", "bias"),
+             sd[f"{src}output.LayerNorm.bias"])
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Swin 2D multimodal backbone
+# ---------------------------------------------------------------------------
+
+def convert_mm_swin2d(sd: FlatDict, cfg: ModelConfig,
+                      prefix: str = "backbone.") -> dict:
+    """Reference MultiModalSwinTransformer state_dict -> backbone params."""
+    p = prefix
+    tree: dict = {}
+    swin = cfg.swin
+
+    _set(tree, ("patch_embed", "proj", "kernel"),
+         _conv2d(sd[f"{p}patch_embed.proj.weight"]))
+    _set(tree, ("patch_embed", "proj", "bias"), sd[f"{p}patch_embed.proj.bias"])
+    if f"{p}patch_embed.norm.weight" in sd:
+        _set(tree, ("patch_embed", "norm", "scale"),
+             sd[f"{p}patch_embed.norm.weight"])
+        _set(tree, ("patch_embed", "norm", "bias"),
+             sd[f"{p}patch_embed.norm.bias"])
+
+    for i in range(swin.num_layers):
+        lp = f"{p}layers.{i}."
+        lt = f"layers_{i}"
+        for j in range(swin.depths[i]):
+            bp = f"{lp}blocks.{j}."
+            bt = f"blocks_{j}"
+            for norm in ("norm1", "norm2"):
+                _set(tree, (lt, bt, norm, "scale"), sd[f"{bp}{norm}.weight"])
+                _set(tree, (lt, bt, norm, "bias"), sd[f"{bp}{norm}.bias"])
+            table = sd[f"{bp}attn.relative_position_bias_table"]
+            table = interpolate_rel_pos_bias(
+                table, (swin.window_size, swin.window_size))
+            _set(tree, (lt, bt, "attn", "relative_position_bias_table"), table)
+            _set(tree, (lt, bt, "attn", "qkv", "kernel"),
+                 _lin(sd[f"{bp}attn.qkv.weight"]))
+            if f"{bp}attn.qkv.bias" in sd:
+                _set(tree, (lt, bt, "attn", "qkv", "bias"),
+                     sd[f"{bp}attn.qkv.bias"])
+            _set(tree, (lt, bt, "attn", "proj", "kernel"),
+                 _lin(sd[f"{bp}attn.proj.weight"]))
+            _set(tree, (lt, bt, "attn", "proj", "bias"),
+                 sd[f"{bp}attn.proj.bias"])
+            _set(tree, (lt, bt, "mlp", "fc1", "kernel"),
+                 _lin(sd[f"{bp}mlp.fc1.weight"]))
+            _set(tree, (lt, bt, "mlp", "fc1", "bias"), sd[f"{bp}mlp.fc1.bias"])
+            _set(tree, (lt, bt, "mlp", "fc2", "kernel"),
+                 _lin(sd[f"{bp}mlp.fc2.weight"]))
+            _set(tree, (lt, bt, "mlp", "fc2", "bias"), sd[f"{bp}mlp.fc2.bias"])
+
+        # PWAM fusion
+        fp = f"{lp}fusion."
+        if f"{fp}vis_project.0.weight" in sd:
+            _set(tree, (lt, "fusion", "vis_project", "kernel"),
+                 _lin(sd[f"{fp}vis_project.0.weight"]))
+            _set(tree, (lt, "fusion", "vis_project", "bias"),
+                 sd[f"{fp}vis_project.0.bias"])
+            _set(tree, (lt, "fusion", "project_mm", "kernel"),
+                 _lin(sd[f"{fp}project_mm.0.weight"]))
+            _set(tree, (lt, "fusion", "project_mm", "bias"),
+                 sd[f"{fp}project_mm.0.bias"])
+            ap = f"{fp}image_lang_att."
+            if f"{ap}f_query.0.weight" in sd:  # attention (PWAM) variant
+                for src, dst in (("f_query.0", "f_query"), ("f_key.0", "f_key"),
+                                 ("f_value.0", "f_value"), ("W.0", "W")):
+                    _set(tree, (lt, "fusion", "image_lang_att", dst, "kernel"),
+                         _lin(sd[f"{ap}{src}.weight"]))
+                    _set(tree, (lt, "fusion", "image_lang_att", dst, "bias"),
+                         sd[f"{ap}{src}.bias"])
+            else:  # LangProject ablation
+                for src, dst in (("project.0", "fc1"), ("project.2", "fc2")):
+                    _set(tree, (lt, "fusion", "image_lang_att", dst, "kernel"),
+                         _lin(sd[f"{ap}{src}.weight"]))
+                    _set(tree, (lt, "fusion", "image_lang_att", dst, "bias"),
+                         sd[f"{ap}{src}.bias"])
+
+        # language gate
+        if f"{lp}res_gate.0.weight" in sd:
+            _set(tree, (lt, "res_gate", "fc1", "kernel"),
+                 _lin(sd[f"{lp}res_gate.0.weight"]))
+            _set(tree, (lt, "res_gate", "fc2", "kernel"),
+                 _lin(sd[f"{lp}res_gate.2.weight"]))
+
+        # downsample
+        if f"{lp}downsample.norm.weight" in sd:
+            _set(tree, (lt, "downsample", "norm", "scale"),
+                 sd[f"{lp}downsample.norm.weight"])
+            _set(tree, (lt, "downsample", "norm", "bias"),
+                 sd[f"{lp}downsample.norm.bias"])
+            _set(tree, (lt, "downsample", "reduction", "kernel"),
+                 _lin(sd[f"{lp}downsample.reduction.weight"]))
+
+    for i in cfg.out_indices:
+        _set(tree, (f"norm{i}", "scale"), sd[f"{p}norm{i}.weight"])
+        _set(tree, (f"norm{i}", "bias"), sd[f"{p}norm{i}.bias"])
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# SimpleDecoding classifier
+# ---------------------------------------------------------------------------
+
+_DECODER_MAP = [
+    ("conv1_4", "bn1_4", "fuse4_a"), ("conv2_4", "bn2_4", "fuse4_b"),
+    ("conv1_3", "bn1_3", "fuse3_a"), ("conv2_3", "bn2_3", "fuse3_b"),
+    ("conv1_2", "bn1_2", "fuse2_a"), ("conv2_2", "bn2_2", "fuse2_b"),
+]
+
+
+def convert_simple_decoding(sd: FlatDict, prefix: str = "classifier."):
+    """-> (params subtree, batch_stats subtree)."""
+    p = prefix
+    params: dict = {}
+    stats: dict = {}
+    for conv, bn, dst in _DECODER_MAP:
+        if f"{p}{conv}.weight" not in sd:
+            continue  # lazy_pred drops the stage-1 join
+        _set(params, (dst, "conv", "kernel"), _conv2d(sd[f"{p}{conv}.weight"]))
+        _set(params, (dst, "bn", "scale"), sd[f"{p}{bn}.weight"])
+        _set(params, (dst, "bn", "bias"), sd[f"{p}{bn}.bias"])
+        _set(stats, (dst, "bn", "mean"), sd[f"{p}{bn}.running_mean"])
+        _set(stats, (dst, "bn", "var"), sd[f"{p}{bn}.running_var"])
+    _set(params, ("head", "kernel"), _conv2d(sd[f"{p}conv1_1.weight"]))
+    _set(params, ("head", "bias"), sd[f"{p}conv1_1.bias"])
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# full models
+# ---------------------------------------------------------------------------
+
+def convert_lavt_one(sd: FlatDict, cfg: ModelConfig) -> dict:
+    """Full lavt_one checkpoint -> {'params': ..., 'batch_stats': ...}."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    params["text_encoder"] = convert_bert(sd, cfg.bert.num_layers,
+                                          prefix="text_encoder.")
+    params["backbone"] = convert_mm_swin2d(sd, cfg, prefix="backbone.")
+    cls_params, cls_stats = convert_simple_decoding(sd, prefix="classifier.")
+    params["classifier"] = cls_params
+    return {"params": params, "batch_stats": {"classifier": cls_stats}}
+
+
+def convert_lavt_one_file(path: str, cfg: ModelConfig) -> dict:
+    return convert_lavt_one(load_torch_state_dict(path), cfg)

@@ -1,0 +1,98 @@
+"""SimpleDecoding — the LAVT top-down conv decoder.
+
+Behavioral contract: reference lib/mask_predictor.py:7-144.  Top-down
+FPN-style fusion: at each join, upsample (bilinear, align_corners=True) to
+the skip's resolution, concat along channels, then two 3x3 Conv-BN-ReLU
+blocks; finally a 1x1 conv to `num_classes` logits.
+
+TPU-native: NHWC features in, NHWC logits out.  The corner-aligned upsample
+is the matmul-based resize from ops/resize.py (MXU-friendly).  BatchNorm uses
+flax batch stats; under a data-parallel jit the batch statistics are computed
+over the *global* batch (XLA inserts the cross-chip reduction), which matches
+the reference's SyncBatchNorm conversion (train.py:589).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import resize_2d
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class SimpleDecoding(nn.Module):
+    """x_c4..x_c1 are NHWC stage features (C4 deepest). Returns NHWC logits
+    at the stage-1 (H/4) resolution (before the final image-size upsample,
+    which the top-level model owns, as in the reference)."""
+
+    c4_dims: int
+    num_classes: int = 2
+    factor: int = 2
+    lazy_pred: bool = False
+    interpolate_before_seg: bool = False
+    seg_last: bool = False
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_c4, x_c3, x_c2, x_c1: Optional[jnp.ndarray]):
+        hidden = self.c4_dims // self.factor
+
+        def up_to(x, ref):
+            if x.shape[1] < ref.shape[1] or x.shape[2] < ref.shape[2]:
+                return resize_2d(x, (ref.shape[1], ref.shape[2]),
+                                 method="bilinear", align_corners=True)
+            return x
+
+        x = jnp.concatenate([up_to(x_c4, x_c3), x_c3], axis=-1)
+        x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                       name="fuse4_a")(x)
+        x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                       name="fuse4_b")(x)
+
+        x = jnp.concatenate([up_to(x, x_c2), x_c2], axis=-1)
+        x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                       name="fuse3_a")(x)
+        x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                       name="fuse3_b")(x)
+
+        if not self.lazy_pred:
+            assert x_c1 is not None
+            x = jnp.concatenate([up_to(x, x_c1), x_c1], axis=-1)
+            x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                           name="fuse2_a")(x)
+            x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                           name="fuse2_b")(x)
+
+        if self.interpolate_before_seg:
+            # Extra upsample+conv stage(s) (reference mask_predictor.py:88-97).
+            base = x_c1 if x_c1 is not None else x
+            x = resize_2d(x, (2 * base.shape[1], 2 * base.shape[2]),
+                          method="bilinear", align_corners=True)
+            x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                           name="pre_seg")(x)
+            if self.seg_last:
+                x = resize_2d(x, (4 * base.shape[1], 4 * base.shape[2]),
+                              method="bilinear", align_corners=True)
+                x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
+                               name="seg_last_conv")(x)
+
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="head")(x)

@@ -1,0 +1,49 @@
+"""Model zoo — mirrors reference lib/segmentation.py's factory names.
+
+`build_model(cfg)` returns the flax module; `MODELS[name]` gives a
+config-constructor per published model family (reference
+lib/segmentation.py:10 `__all__`: lavt, lavt_one, lavt_video, lts, vlt,
+lavt_vlt).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import flax.linen as nn
+
+from ..config import ModelConfig, SwinConfig
+from .lavt import LAVT, LAVTOne, LAVTVideo
+
+
+def build_model(cfg: ModelConfig, train: bool = False) -> nn.Module:
+    if cfg.name == "lavt_one":
+        return LAVTOne(cfg, train_mode=train)
+    if cfg.name == "lavt":
+        return LAVT(cfg, train_mode=train)
+    if cfg.name == "lavt_video":
+        return LAVTVideo(cfg, train_mode=train)
+    raise NotImplementedError(f"model {cfg.name!r} not implemented yet")
+
+
+def make_config(name: str, swin_type: str = "base", window12: bool = True,
+                **kw) -> ModelConfig:
+    """Replicates the reference factory's size/window selection
+    (lib/segmentation.py:16-45)."""
+    window_size = 12 if window12 else 7
+    swin_kw = {}
+    if name == "lavt_video":
+        # Video drop-path rates per size (lib/segmentation.py:154-212).
+        swin_kw["drop_path_rate"] = {"tiny": 0.1, "small": 0.2,
+                                     "base": 0.3}.get(swin_type, 0.3)
+        swin_kw["window_size"] = 7 if not window12 else 12
+        kw.setdefault("max_tokens", 22)
+    swin = SwinConfig.from_size(swin_type, window_size=window_size, **swin_kw)
+    return ModelConfig(name=name, swin=swin, **kw)
+
+
+MODELS: Dict[str, Callable[..., ModelConfig]] = {
+    "lavt": lambda **kw: make_config("lavt", **kw),
+    "lavt_one": lambda **kw: make_config("lavt_one", **kw),
+    "lavt_video": lambda **kw: make_config("lavt_video", **kw),
+}

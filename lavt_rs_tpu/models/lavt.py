@@ -1,0 +1,145 @@
+"""Top-level LAVT models.
+
+Behavioral contract: reference lib/_utils.py
+  * LAVT    (external BERT: forward takes precomputed language features)
+            — lib/_utils.py:10-27
+  * LAVTOne (BERT owned by the model)              — lib/_utils.py:33-67
+  * LAVTVideo (Video Swin backbone, per-frame decode) — lib/_utils.py:76-242
+
+I/O conventions (TPU-native, differs from reference layouts):
+  * image: NHWC float (B, H, W, 3) — already normalized.
+  * video: (B, T, H, W, 3).
+  * text:  (B, N_l) int32 token ids;  l_mask: (B, N_l) {0,1}.
+  * output logits: NHWC (B, H, W, num_classes) — upsampled to the input
+    size with corner-aligned bilinear, like the reference's final
+    F.interpolate (lib/_utils.py:61).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import ModelConfig
+from ..ops.resize import resize_2d
+from .bert import BertEncoder
+from .decoder import SimpleDecoding
+from .swin2d import MultiModalSwinTransformer
+
+
+class LAVTOne(nn.Module):
+    """lavt_one: BERT + multimodal Swin + SimpleDecoding in one module."""
+
+    cfg: ModelConfig
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image, text_ids, l_mask, *, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        in_hw = image.shape[1:3]
+
+        l_feats = BertEncoder(cfg.bert, dtype=dt, name="text_encoder")(
+            text_ids, l_mask, deterministic=deterministic)
+
+        feats = MultiModalSwinTransformer(
+            cfg=cfg.swin, fusion=cfg.fusion, out_indices=cfg.out_indices,
+            use_checkpoint=cfg.use_checkpoint, use_pallas=cfg.use_pallas,
+            dtype=dt, name="backbone")(
+                image.astype(dt), l_feats, l_mask,
+                deterministic=deterministic)
+
+        if cfg.lazy_pred:
+            x_c1 = None
+            x_c2, x_c3, x_c4 = feats
+        else:
+            x_c1, x_c2, x_c3, x_c4 = feats
+
+        logits = SimpleDecoding(
+            c4_dims=8 * cfg.swin.embed_dim, num_classes=cfg.num_classes,
+            lazy_pred=cfg.lazy_pred,
+            interpolate_before_seg=cfg.interpolate_before_seg,
+            seg_last=cfg.seg_last, train=self.train_mode, dtype=dt,
+            name="classifier")(x_c4, x_c3, x_c2, x_c1)
+
+        logits = resize_2d(logits.astype(jnp.float32), in_hw,
+                           method="bilinear", align_corners=True)
+        return logits
+
+
+class LAVT(nn.Module):
+    """lavt: language features computed externally (reference keeps BERT as
+    a separate DDP model; here it is simply a separate module/apply)."""
+
+    cfg: ModelConfig
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image, l_feats, l_mask, *, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        in_hw = image.shape[1:3]
+
+        feats = MultiModalSwinTransformer(
+            cfg=cfg.swin, fusion=cfg.fusion, out_indices=cfg.out_indices,
+            use_checkpoint=cfg.use_checkpoint, use_pallas=cfg.use_pallas,
+            dtype=dt, name="backbone")(
+                image.astype(dt), l_feats.astype(dt), l_mask,
+                deterministic=deterministic)
+        x_c1, x_c2, x_c3, x_c4 = feats
+        logits = SimpleDecoding(
+            c4_dims=8 * cfg.swin.embed_dim, num_classes=cfg.num_classes,
+            train=self.train_mode, dtype=dt, name="classifier")(
+                x_c4, x_c3, x_c2, x_c1)
+        logits = resize_2d(logits.astype(jnp.float32), in_hw,
+                           method="bilinear", align_corners=True)
+        return logits
+
+
+class LAVTVideo(nn.Module):
+    """lavt_video: Video Swin 3D backbone + per-frame SimpleDecoding.
+
+    Input video (B, T, H, W, 3); output (B*T, H, W, num_classes) logits —
+    frame-major like the reference's (B*T, 2, H, W) (lib/_utils.py:104-108).
+    """
+
+    cfg: ModelConfig
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, video, text_ids, l_mask, *, deterministic: bool = True):
+        from .swin3d import MultiModalSwinTransformer3D
+
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        in_hw = video.shape[2:4]
+
+        l_feats = BertEncoder(cfg.bert, dtype=dt, name="text_encoder")(
+            text_ids, l_mask, deterministic=deterministic)
+
+        feats = MultiModalSwinTransformer3D(
+            cfg=cfg.swin, fusion=cfg.fusion, tpwam=cfg.tpwam,
+            out_indices=cfg.out_indices, use_checkpoint=cfg.use_checkpoint,
+            use_pallas=cfg.use_pallas, dtype=dt, name="backbone")(
+                video.astype(dt), l_feats, l_mask,
+                deterministic=deterministic)
+        # Each stage output: (B*T, Hi, Wi, Ci)
+        if cfg.lazy_pred:
+            x_c1 = None
+            x_c2, x_c3, x_c4 = feats
+        else:
+            x_c1, x_c2, x_c3, x_c4 = feats
+
+        logits = SimpleDecoding(
+            c4_dims=8 * cfg.swin.embed_dim, num_classes=cfg.num_classes,
+            lazy_pred=cfg.lazy_pred,
+            interpolate_before_seg=cfg.interpolate_before_seg,
+            seg_last=cfg.seg_last, train=self.train_mode, dtype=dt,
+            name="classifier")(x_c4, x_c3, x_c2, x_c1)
+
+        if not cfg.seg_last:
+            logits = resize_2d(logits.astype(jnp.float32), in_hw,
+                               method="bilinear", align_corners=True)
+        return logits

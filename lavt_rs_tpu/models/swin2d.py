@@ -1,0 +1,358 @@
+"""Multimodal Swin Transformer (2D) — the LAVT image backbone.
+
+Re-designed TPU-first from the behavior of reference lib/backbone.py:
+  * WindowAttention            — lib/backbone.py:65-143
+  * SwinTransformerBlock       — lib/backbone.py:146-245
+  * PatchEmbed / PatchMerging  — lib/backbone.py:248-331
+  * MMBasicLayer (+ LG gate)   — lib/backbone.py:523-686
+  * MultiModalSwinTransformer  — lib/backbone.py:334-520
+
+TPU-first design choices (vs. the reference):
+  * NHWC tokens end-to-end; stage outputs are (B, H, W, C), not NCHW.
+  * Shift masks and relative-position indices are numpy constants built once
+    per static shape at trace time (the reference rebuilds the mask with
+    tensor ops on every forward, lib/backbone.py:633-652).
+  * All shapes are static under jit: padding amounts are Python ints.
+  * Softmax/bias math accumulates in float32; activations may be bfloat16.
+  * `jax.checkpoint` (remat) replaces torch.utils.checkpoint per block.
+  * The fused attention can route to a Pallas kernel (config.use_pallas).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import FusionConfig, FusionKind, GateKind, StageOutput, SwinConfig
+from ..ops.attention import window_attention
+from ..ops.window import (
+    relative_position_index_2d,
+    shift_mask_2d,
+    window_partition,
+    window_reverse,
+)
+from .pwam import PWAM, LanguageGate, apply_gate
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with learned relative position bias."""
+
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        """x: (B, nW, N, C); mask: (nW, N, N) or None."""
+        b, nw, n, c = x.shape
+        h = self.num_heads
+        wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table", trunc_normal_init,
+            ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
+        idx = relative_position_index_2d(wh, ww)  # numpy (N_full, N_full)
+        bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h)
+        bias = bias.transpose(2, 0, 1)  # (h, N, N)
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, nw, n, 3, h, c // h)
+        q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3))
+
+        out = window_attention(q, k, v, bias, mask=mask, scale=self.qk_scale,
+                               use_pallas=self.use_pallas)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int], deterministic: bool = True):
+        """x: (B, H*W, C); hw static (Python tuple)."""
+        h, w = hw
+        b, l, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            mask = shift_mask_2d(hp, wp, ws, ss)
+        else:
+            mask = None
+
+        nw = (hp // ws) * (wp // ws)
+        xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
+        xw = WindowAttention(
+            dim=c, window_size=(ws, ws), num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            use_pallas=self.use_pallas, dtype=self.dtype,
+            name="attn")(xw, mask=mask, deterministic=deterministic)
+        x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w, :]
+        x = x.reshape(b, h * w, c)
+
+        rng = self.make_rng("dropout") if (
+            not deterministic and self.drop_path_rate > 0) else None
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+        y = Mlp(hidden=int(c * self.mlp_ratio), out=c, drop=self.drop,
+                dtype=self.dtype, name="mlp")(
+                    nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="norm2")(x),
+                    deterministic=deterministic)
+        rng = self.make_rng("dropout") if (
+            not deterministic and self.drop_path_rate > 0) else None
+        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+
+class PatchEmbed(nn.Module):
+    """4x4 stride-4 conv patchifier. Input NHWC image, output (B, Wh, Ww, C)."""
+
+    embed_dim: int = 96
+    patch_size: int = 4
+    patch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ps = self.patch_size
+        h, w = x.shape[1], x.shape[2]
+        pad_b = (ps - h % ps) % ps
+        pad_r = (ps - w % ps) % ps
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x2 space-to-depth + LN + Linear(4C -> 2C, no bias)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        h, w = hw
+        b, l, c = x.shape
+        x = x.reshape(b, h, w, c)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
+        return x
+
+
+class MMBasicLayer(nn.Module):
+    """One multimodal stage: Swin blocks -> PWAM -> LG residual -> merge."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    attn_drop: float
+    drop_path_rates: Tuple[float, ...]
+    has_downsample: bool
+    fusion: FusionConfig
+    fusion_heads: int
+    use_checkpoint: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw, l, l_mask, *, deterministic: bool = True):
+        h, w = hw
+        block_cls = SwinBlock
+        if self.use_checkpoint:
+            # Rematerialize each block's activations on the backward pass
+            # (the TPU equivalent of torch.utils.checkpoint per block,
+            # reference lib/backbone.py:657-660).
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
+        for i in range(self.depth):
+            block = block_cls(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path_rate=self.drop_path_rates[i],
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"blocks_{i}")
+            x = block(x, hw, deterministic)
+
+        x_pre_fusion = x
+
+        if self.fusion.kind in (FusionKind.PWAM, FusionKind.SIMPLE):
+            mm = PWAM(dim=self.dim, num_heads=self.fusion_heads,
+                      dropout=self.fusion.dropout,
+                      attention=self.fusion.kind == FusionKind.PWAM,
+                      att_norm=self.fusion.att_norm, dtype=self.dtype,
+                      name="fusion")(x, l, l_mask, deterministic=deterministic)
+        else:
+            raise NotImplementedError(
+                f"fusion kind {self.fusion.kind} not yet implemented")
+
+        if self.fusion.gate == GateKind.DEFAULT:
+            gate_out = LanguageGate(dim=self.dim, act=self.fusion.lg_act,
+                                    dtype=self.dtype, name="res_gate")(mm)
+        else:
+            gate_out = None
+        x = apply_gate(x, mm, gate_out, self.fusion.gate)
+
+        if self.fusion.stage_output == StageOutput.RESIDUAL:
+            x_out = mm
+        elif self.fusion.stage_output == StageOutput.HIDDEN:
+            x_out = x
+        else:  # LAZY
+            x_out = x_pre_fusion
+
+        if self.has_downsample:
+            x_down = PatchMerging(dim=self.dim, dtype=self.dtype,
+                                  name="downsample")(x, hw)
+            down_hw = ((h + 1) // 2, (w + 1) // 2)
+            return x_out, x_down, down_hw
+        return x_out, x, hw
+
+
+class MultiModalSwinTransformer(nn.Module):
+    """The full 4-stage multimodal backbone.
+
+    __call__(image NHWC, l (B, N_l, D_l), l_mask (B, N_l))
+      -> tuple of per-stage NHWC features, one per cfg out_indices.
+    """
+
+    cfg: SwinConfig
+    fusion: FusionConfig
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    use_checkpoint: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        cfg = self.cfg
+        x = PatchEmbed(embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
+                       patch_norm=cfg.patch_norm, dtype=self.dtype,
+                       name="patch_embed")(x)
+        b, wh, ww, c = x.shape
+        if cfg.ape:
+            # Absolute position embedding at the pretraining resolution,
+            # bicubic-resized to the current grid (reference backbone.py:497).
+            from ..ops.resize import resize_2d
+            pre = 224 // cfg.patch_size
+            ape = self.param("absolute_pos_embed", trunc_normal_init,
+                             (1, pre, pre, cfg.embed_dim), jnp.float32)
+            x = x + resize_2d(ape, (wh, ww), method="bicubic",
+                              align_corners=False).astype(self.dtype)
+        x = x.reshape(b, wh * ww, c)
+        x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
+
+        total_depth = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total_depth).tolist()
+
+        outs = []
+        hw = (wh, ww)
+        for i in range(cfg.num_layers):
+            start = sum(cfg.depths[:i])
+            layer = MMBasicLayer(
+                dim=cfg.num_features[i], depth=cfg.depths[i],
+                num_heads=cfg.num_heads[i], window_size=cfg.window_size,
+                mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_path_rates=tuple(dpr[start:start + cfg.depths[i]]),
+                has_downsample=i < cfg.num_layers - 1,
+                fusion=self.fusion, fusion_heads=self.fusion.num_heads[i],
+                use_checkpoint=self.use_checkpoint,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"layers_{i}")
+            x_out, x, next_hw = layer(x, hw, l, l_mask,
+                                      deterministic=deterministic)
+            if i in self.out_indices:
+                x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f"norm{i}")(x_out)
+                outs.append(x_out.reshape(b, hw[0], hw[1],
+                                          cfg.num_features[i]))
+            hw = next_hw
+        return tuple(outs)

@@ -1,0 +1,27 @@
+"""Normalization helpers with PyTorch-matching semantics.
+
+The only nonstandard one is InstanceNorm1d as used inside PWAM's
+SpatialImageLanguageAttention (reference lib/backbone.py:1296-1302,
+1338-1343): torch's `nn.InstanceNorm1d(C)` with default `affine=False`
+normalizes each (sample, channel) over the length axis with eps=1e-5 and no
+learned scale/offset.  In our (B, L, C) token layout that is a reduction
+over axis=-2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def instance_norm_tokens(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm1d(affine=False) over a (..., L, C) token tensor.
+
+    Normalizes over the token axis L independently per channel and per
+    leading index.  Statistics in float32 (biased variance, like torch).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-2, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-2, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)

@@ -1,0 +1,126 @@
+"""Corner-aligned separable resize as matrix multiplication.
+
+The reference uses `F.interpolate(..., mode='bilinear', align_corners=True)`
+in five places (decoder joins, final upsample, original-resolution eval
+resize; reference: lib/mask_predictor.py:60-97, lib/_utils.py:21,61,106).
+`jax.image.resize` implements only the half-pixel (align_corners=False)
+convention, so we build the exact corner-aligned interpolation as two small
+dense matrices applied along H and W.  On TPU this is a pair of matmuls that
+run on the MXU — faster than a gather and bit-exact with the torch kernel in
+float32.
+
+Interpolation matrices are built in numpy at trace time and folded into the
+XLA program as constants (shapes are always static here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix_np(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) row-stochastic linear interpolation matrix."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    if out_size == 1:
+        m = np.zeros((1, in_size), dtype=np.float32)
+        m[0, 0] = 1.0
+        return m
+    if align_corners:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = np.maximum((np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5, 0.0)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo).astype(np.float64)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m.astype(np.float32)
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with a=-0.75 (torch's bicubic)."""
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix_np(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) bicubic interpolation matrix, matching torch's
+    `F.interpolate(mode='bicubic')` border handling (edge-clamped taps)."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    if out_size == 1:
+        m = np.zeros((1, in_size), dtype=np.float32)
+        m[0, 0] = 1.0
+        return m
+    if align_corners:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    for t in (-1, 0, 1, 2):
+        idx = np.clip(base + t, 0, in_size - 1)
+        w = _cubic_kernel(t - frac)
+        np.add.at(m, (rows, idx), w)
+    return m.astype(np.float32)
+
+
+def resize_2d(x: jnp.ndarray, out_hw, method: str = "bilinear",
+              align_corners: bool = True) -> jnp.ndarray:
+    """Resize the two spatial dims of an NHWC (or ...HWC) tensor.
+
+    Args:
+      x: (..., H, W, C) array.
+      out_hw: (out_H, out_W).
+      method: 'bilinear' or 'bicubic'.
+      align_corners: corner-aligned grid (the reference's convention).
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    mat = {"bilinear": _linear_matrix_np, "bicubic": _cubic_matrix_np}[method]
+    ah = jnp.asarray(mat(out_h, in_h, align_corners))
+    aw = jnp.asarray(mat(out_w, in_w, align_corners))
+    dt = x.dtype
+    # Full f32 on the MXU: resize feeds mask logits/eval, keep it exact.
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,...hwc->...owc", ah, x.astype(jnp.float32), precision=hp)
+    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=hp)
+    return y.astype(dt)
+
+
+def resize_nchw(x: jnp.ndarray, out_hw, method: str = "bilinear",
+                align_corners: bool = True) -> jnp.ndarray:
+    """Same as resize_2d but for (..., C, H, W) layout (torch-style)."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    mat = {"bilinear": _linear_matrix_np, "bicubic": _cubic_matrix_np}[method]
+    ah = jnp.asarray(mat(out_h, in_h, align_corners))
+    aw = jnp.asarray(mat(out_w, in_w, align_corners))
+    dt = x.dtype
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,...hw->...ow", ah, x.astype(jnp.float32), precision=hp)
+    y = jnp.einsum("pw,...hw->...hp", aw, y, precision=hp)
+    return y.astype(dt)

@@ -1,0 +1,173 @@
+"""Window partition / reverse and shifted-window masks for Swin attention.
+
+Pure shape manipulation (reshape/transpose) — XLA turns these into layout
+changes; the actual attention lives in ops/attention.py and the Pallas kernel
+in ops/pallas/window_attn.py.
+
+Behavioral contract (2D): reference lib/backbone.py:33-62 (partition order is
+row-major over window grid, then within-window row-major) and
+lib/backbone.py:633-652 (9-region shift mask with -100 additive penalty).
+3D: reference lib/video_swin_transformer.py:35-66, 315-328.
+
+Unlike the reference, shift masks are built once per static shape at trace
+time in numpy (the reference rebuilds the mask with torch ops on every
+forward — pure overhead under jit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# 2D
+# ---------------------------------------------------------------------------
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B * H//ws * W//ws, ws*ws, C). H, W divisible by ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of window_partition: (B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_mask_2d_np(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws*ws, ws*ws) additive mask: 0 within region, -100 across."""
+    img = np.zeros((hp, wp), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs_ in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs_] = cnt
+            cnt += 1
+    # partition into windows
+    img = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    img = img.reshape(-1, ws * ws)  # (nW, N)
+    diff = img[:, None, :] - img[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shift_mask_2d(hp: int, wp: int, ws: int, shift: int) -> Optional[jnp.ndarray]:
+    """Additive SW-MSA mask for padded size (hp, wp); None when shift == 0."""
+    if shift == 0:
+        return None
+    return jnp.asarray(_shift_mask_2d_np(hp, wp, ws, shift))
+
+
+@functools.lru_cache(maxsize=64)
+def relative_position_index_2d(wh: int, ww: int) -> np.ndarray:
+    """(Wh*Ww, Wh*Ww) index into the (2Wh-1)(2Ww-1) bias table.
+
+    Same indexing scheme as Swin (reference lib/backbone.py:93-104).
+    """
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+# ---------------------------------------------------------------------------
+# 3D
+# ---------------------------------------------------------------------------
+
+def window_partition_3d(x: jnp.ndarray, ws: Tuple[int, int, int]) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B*nW, wd*wh*ww, C). Dims divisible by ws."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = ws
+    x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wd * wh * ww, c)
+
+
+def window_reverse_3d(windows: jnp.ndarray, ws: Tuple[int, int, int],
+                      d: int, h: int, w: int) -> jnp.ndarray:
+    wd, wh, ww = ws
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((d // wd) * (h // wh) * (w // ww))
+    x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, c)
+
+
+def get_window_size_3d(input_size: Sequence[int], window_size: Sequence[int],
+                       shift_size: Optional[Sequence[int]] = None):
+    """Clamp window/shift to input dims (reference
+    lib/video_swin_transformer.py:70-83): when an input dim is <= the window
+    dim, the window collapses to the input dim and its shift becomes 0."""
+    use_ws = list(window_size)
+    use_ss = list(shift_size) if shift_size is not None else None
+    for i in range(len(input_size)):
+        if input_size[i] <= window_size[i]:
+            use_ws[i] = input_size[i]
+            if use_ss is not None:
+                use_ss[i] = 0
+    if shift_size is None:
+        return tuple(use_ws)
+    return tuple(use_ws), tuple(use_ss)
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_mask_3d_np(dp: int, hp: int, wp: int, ws: Tuple[int, int, int],
+                      ss: Tuple[int, int, int]) -> np.ndarray:
+    img = np.zeros((dp, hp, wp), dtype=np.int32)
+    cnt = 0
+    for d in (slice(0, -ws[0]), slice(-ws[0], -ss[0]) if ss[0] else slice(-ws[0], None),
+              slice(-ss[0], None) if ss[0] else None):
+        if d is None:
+            continue
+        for h in (slice(0, -ws[1]), slice(-ws[1], -ss[1]) if ss[1] else slice(-ws[1], None),
+                  slice(-ss[1], None) if ss[1] else None):
+            if h is None:
+                continue
+            for w in (slice(0, -ws[2]), slice(-ws[2], -ss[2]) if ss[2] else slice(-ws[2], None),
+                      slice(-ss[2], None) if ss[2] else None):
+                if w is None:
+                    continue
+                img[d, h, w] = cnt
+                cnt += 1
+    wd, wh, ww = ws
+    img = img.reshape(dp // wd, wd, hp // wh, wh, wp // ww, ww)
+    img = img.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    diff = img[:, None, :] - img[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shift_mask_3d(dp: int, hp: int, wp: int, ws, ss) -> Optional[jnp.ndarray]:
+    ws, ss = tuple(int(v) for v in ws), tuple(int(v) for v in ss)
+    if not any(ss):
+        return None
+    return jnp.asarray(_shift_mask_3d_np(dp, hp, wp, ws, ss))
+
+
+@functools.lru_cache(maxsize=16)
+def relative_position_index_3d(wd: int, wh: int, ww: int) -> np.ndarray:
+    """(N, N) index into the (2wd-1)(2wh-1)(2ww-1) bias table
+    (reference lib/video_swin_transformer.py:104-120)."""
+    coords = np.stack(np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww),
+                                  indexing="ij"))
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1)

@@ -1,0 +1,68 @@
+"""End-to-end model forward: shapes, jit consistency, dtype policy."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lavt_rs_tpu.config import lavt_one_tiny
+from lavt_rs_tpu.models.factory import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = lavt_one_tiny().replace(img_size=64, max_tokens=6)
+    # shrink BERT so tests stay fast
+    import dataclasses
+    cfg = cfg.replace(bert=dataclasses.replace(
+        cfg.bert, vocab_size=64, hidden_size=768, num_layers=2))
+    model = build_model(cfg)
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32))
+    ids = jnp.ones((2, 6), jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, mask)
+    return cfg, model, variables, (img, ids, mask)
+
+
+def test_forward_shape(tiny_setup):
+    cfg, model, variables, (img, ids, mask) = tiny_setup
+    out = model.apply(variables, img, ids, mask)
+    assert out.shape == (2, 64, 64, 2)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_jit_matches_eager(tiny_setup):
+    cfg, model, variables, args = tiny_setup
+    eager = model.apply(variables, *args)
+    jitted = jax.jit(lambda v, *a: model.apply(v, *a))(variables, *args)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batch_independence(tiny_setup):
+    """Each sample's output depends only on its own image/text."""
+    cfg, model, variables, (img, ids, mask) = tiny_setup
+    full = np.asarray(model.apply(variables, img, ids, mask))
+    one = np.asarray(model.apply(variables, img[:1], ids[:1], mask[:1]))
+    np.testing.assert_allclose(full[:1], one, rtol=1e-4, atol=1e-4)
+
+
+def test_language_mask_matters(tiny_setup):
+    cfg, model, variables, (img, ids, mask) = tiny_setup
+    out1 = np.asarray(model.apply(variables, img, ids, mask))
+    mask2 = jnp.ones_like(mask)
+    out2 = np.asarray(model.apply(variables, img, ids, mask2))
+    # sample 0 has padding in mask — changing it must change the output
+    assert np.abs(out1[0] - out2[0]).max() > 1e-6
+
+
+def test_bf16_forward_runs(tiny_setup):
+    cfg, model, variables, (img, ids, mask) = tiny_setup
+    cfg16 = cfg.replace(dtype="bfloat16")
+    model16 = build_model(cfg16)
+    out = model16.apply(variables, img, ids, mask)
+    assert out.shape == (2, 64, 64, 2)
+    assert out.dtype == jnp.float32  # final logits upcast for the resize
+    assert np.isfinite(np.asarray(out)).all()

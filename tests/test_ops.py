@@ -1,0 +1,134 @@
+"""Unit tests for core ops: resize, window utils, instance norm, attention."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from lavt_rs_tpu.ops.resize import resize_2d, resize_nchw
+from lavt_rs_tpu.ops.norm import instance_norm_tokens
+from lavt_rs_tpu.ops.window import (
+    window_partition, window_reverse, shift_mask_2d,
+    window_partition_3d, window_reverse_3d, shift_mask_3d,
+    relative_position_index_2d, get_window_size_3d,
+)
+from lavt_rs_tpu.ops.attention import window_attention_xla
+
+
+def test_resize_bilinear_align_corners_matches_torch(rng):
+    x = rng.standard_normal((2, 15, 15, 7)).astype(np.float32)
+    for out in [(30, 30), (60, 45), (13, 13), (120, 120), (1, 5)]:
+        got = np.asarray(resize_2d(jnp.asarray(x), out))
+        want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                             size=out, mode="bilinear",
+                             align_corners=True).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_half_pixel_matches_torch(rng):
+    x = rng.standard_normal((2, 16, 12, 3)).astype(np.float32)
+    got = np.asarray(resize_2d(jnp.asarray(x), (37, 29), align_corners=False))
+    want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         size=(37, 29), mode="bilinear",
+                         align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bicubic_matches_torch(rng):
+    x = rng.standard_normal((1, 13, 13, 4)).astype(np.float32)
+    for ac in (True, False):
+        got = np.asarray(resize_2d(jnp.asarray(x), (23, 23), method="bicubic",
+                                   align_corners=ac))
+        want = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                             size=(23, 23), mode="bicubic",
+                             align_corners=ac).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_nchw_matches_nhwc(rng):
+    x = rng.standard_normal((2, 5, 9, 11)).astype(np.float32)
+    a = np.asarray(resize_nchw(jnp.asarray(x), (18, 22)))
+    b = np.asarray(resize_2d(jnp.asarray(x).transpose(0, 2, 3, 1), (18, 22)))
+    np.testing.assert_allclose(a, b.transpose(0, 3, 1, 2), rtol=1e-6, atol=1e-6)
+
+
+def test_window_partition_roundtrip(rng):
+    x = rng.standard_normal((2, 14, 21, 5)).astype(np.float32)
+    w = window_partition(jnp.asarray(x), 7)
+    assert w.shape == (2 * 2 * 3, 49, 5)
+    back = window_reverse(w, 7, 14, 21)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_window_partition_matches_torch(rng):
+    from torch_oracles import window_partition_t
+
+    x = rng.standard_normal((2, 14, 14, 3)).astype(np.float32)
+    got = np.asarray(window_partition(jnp.asarray(x), 7))
+    want = window_partition_t(torch.from_numpy(x), 7).reshape(-1, 49, 3).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift_mask_matches_torch():
+    from torch_oracles import shift_mask_t
+
+    got = np.asarray(shift_mask_2d(14, 21, 7, 3))
+    want = shift_mask_t(14, 21, 7, 3).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_relative_position_index_symmetric_diag():
+    idx = relative_position_index_2d(7, 7)
+    assert idx.shape == (49, 49)
+    # all diagonal entries are the center of the table
+    assert (np.diag(idx) == idx[0, 0]).all()
+    assert idx.max() == 13 * 13 - 1 and idx.min() == 0
+
+
+def test_window_partition_3d_roundtrip(rng):
+    x = rng.standard_normal((2, 4, 8, 8, 3)).astype(np.float32)
+    w = window_partition_3d(jnp.asarray(x), (2, 4, 4))
+    assert w.shape == (2 * 2 * 2 * 2, 32, 3)
+    back = window_reverse_3d(w, (2, 4, 4), 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_get_window_size_3d_clamps():
+    ws, ss = get_window_size_3d((4, 16, 16), (8, 7, 7), (4, 3, 3))
+    assert ws == (4, 7, 7) and ss == (0, 3, 3)
+    assert get_window_size_3d((10, 5, 20), (8, 7, 7)) == (8, 5, 7)
+
+
+def test_shift_mask_3d_zero_when_no_shift():
+    assert shift_mask_3d(4, 8, 8, (2, 4, 4), (0, 0, 0)) is None
+    m = shift_mask_3d(4, 8, 8, (2, 4, 4), (1, 2, 2))
+    assert m is not None and m.shape == (8, 32, 32)
+    vals = np.unique(np.asarray(m))
+    assert set(vals.tolist()) <= {-100.0, 0.0}
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.standard_normal((3, 50, 16)).astype(np.float32)
+    got = np.asarray(instance_norm_tokens(jnp.asarray(x)))
+    # torch InstanceNorm1d over (B, C, L)
+    want = F.instance_norm(torch.from_numpy(x).permute(0, 2, 1))
+    want = want.permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_window_attention_xla_matches_naive(rng):
+    b, nw, h, n, d = 2, 3, 4, 9, 8
+    q = rng.standard_normal((b, nw, h, n, d)).astype(np.float32)
+    k = rng.standard_normal((b, nw, h, n, d)).astype(np.float32)
+    v = rng.standard_normal((b, nw, h, n, d)).astype(np.float32)
+    bias = rng.standard_normal((h, n, n)).astype(np.float32)
+    mask = np.where(rng.random((nw, n, n)) > 0.8, -100.0, 0.0).astype(np.float32)
+
+    got = np.asarray(window_attention_xla(*map(jnp.asarray, (q, k, v, bias)),
+                                          mask=jnp.asarray(mask)))
+    qt, kt, vt = map(torch.from_numpy, (q, k, v))
+    attn = (qt * d**-0.5) @ kt.transpose(-2, -1)
+    attn = attn + torch.from_numpy(bias)[None, None]
+    attn = attn + torch.from_numpy(mask)[None, :, None]
+    want = (attn.softmax(-1) @ vt).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,202 @@
+"""Independent PyTorch oracles for golden-parity tests.
+
+These are written from the *documented behavior* of LAVT (SURVEY.md §2) using
+plain torch ops — they serve as numeric oracles for the JAX implementation
+and intentionally use the reference's state_dict naming contract so the
+production converter (lavt_rs_tpu.convert.torch2jax) can be exercised by the
+same tests.
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class WindowAttentionOracle(nn.Module):
+    """W-MSA with relative position bias (LAVT/Swin semantics)."""
+
+    def __init__(self, dim, window, heads):
+        super().__init__()
+        self.dim, self.window, self.heads = dim, window, heads
+        self.scale = (dim // heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn((2 * window - 1) ** 2, heads) * 0.02)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window), torch.arange(window), indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window - 1
+        rel[:, :, 1] += window - 1
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        h = self.heads
+        qkv = self.qkv(x).reshape(B_, N, 3, h, C // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * self.scale, qkv[1], qkv[2]
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(N, N, h)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.view(-1, h, N, N)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(x)
+
+
+def window_partition_t(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+
+def window_reverse_t(win, ws, H, W):
+    B = win.shape[0] // (H * W // ws // ws)
+    x = win.view(B, H // ws, W // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+def shift_mask_t(Hp, Wp, ws, shift):
+    img = torch.zeros(1, Hp, Wp, 1)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = window_partition_t(img, ws).view(-1, ws * ws)
+    am = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+
+class SwinBlockOracle(nn.Module):
+    def __init__(self, dim, heads, window, shift, mlp_ratio=4.0):
+        super().__init__()
+        self.dim, self.window, self.shift = dim, window, shift
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = WindowAttentionOracle(dim, window, heads)
+        self.norm2 = nn.LayerNorm(dim)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, hidden)
+        self.mlp.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x, H, W):
+        B, L, C = x.shape
+        ws, ss = self.window, self.shift
+        shortcut = x
+        x = self.norm1(x).view(B, H, W, C)
+        pad_r = (ws - W % ws) % ws
+        pad_b = (ws - H % ws) % ws
+        x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        Hp, Wp = H + pad_b, W + pad_r
+        if ss > 0:
+            x = torch.roll(x, shifts=(-ss, -ss), dims=(1, 2))
+            mask = shift_mask_t(Hp, Wp, ws, ss)
+        else:
+            mask = None
+        xw = window_partition_t(x, ws).view(-1, ws * ws, C)
+        xw = self.attn(xw, mask)
+        x = window_reverse_t(xw.view(-1, ws, ws, C), ws, Hp, Wp)
+        if ss > 0:
+            x = torch.roll(x, shifts=(ss, ss), dims=(1, 2))
+        x = x[:, :H, :W, :].reshape(B, L, C)
+        x = shortcut + x
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + y
+
+
+class SpatialImageLanguageAttentionOracle(nn.Module):
+    """Visual-query/language-key cross attention with IN norms and the
+    1e4-mask softmax trick. Language layout: (B, D_l, N_l) like the ref."""
+
+    def __init__(self, v_in, l_in, key_c, value_c, heads=1):
+        super().__init__()
+        self.key_c, self.value_c, self.heads = key_c, value_c, heads
+        self.f_key = nn.Sequential(nn.Conv1d(l_in, key_c, 1))
+        self.f_query = nn.Sequential(nn.Conv1d(v_in, key_c, 1),
+                                     nn.InstanceNorm1d(key_c))
+        self.f_value = nn.Sequential(nn.Conv1d(l_in, value_c, 1))
+        self.W = nn.Sequential(nn.Conv1d(value_c, value_c, 1),
+                               nn.InstanceNorm1d(value_c))
+
+    def forward(self, x, l, l_mask):
+        B, HW = x.size(0), x.size(1)
+        x = x.permute(0, 2, 1)
+        l_mask = l_mask.permute(0, 2, 1)  # (B, 1, N_l)
+        query = self.f_query(x).permute(0, 2, 1)
+        key = self.f_key(l) * l_mask
+        value = self.f_value(l) * l_mask
+        n_l = value.size(-1)
+        h = self.heads
+        query = query.reshape(B, HW, h, self.key_c // h).permute(0, 2, 1, 3)
+        key = key.reshape(B, h, self.key_c // h, n_l)
+        value = value.reshape(B, h, self.value_c // h, n_l)
+        l_mask = l_mask.unsqueeze(1)
+        sim = torch.matmul(query, key) * (self.key_c ** -0.5)
+        sim = sim + (1e4 * l_mask - 1e4)
+        sim = F.softmax(sim, dim=-1)
+        out = torch.matmul(sim, value.permute(0, 1, 3, 2))
+        out = out.permute(0, 2, 1, 3).reshape(B, HW, self.value_c)
+        out = self.W(out.permute(0, 2, 1)).permute(0, 2, 1)
+        return out
+
+
+class PWAMOracle(nn.Module):
+    def __init__(self, dim, l_in=768, heads=1):
+        super().__init__()
+        self.vis_project = nn.Sequential(nn.Conv1d(dim, dim, 1), nn.GELU())
+        self.image_lang_att = SpatialImageLanguageAttentionOracle(
+            dim, l_in, dim, dim, heads)
+        self.project_mm = nn.Sequential(nn.Conv1d(dim, dim, 1), nn.GELU())
+
+    def forward(self, x, l, l_mask):
+        vis = self.vis_project(x.permute(0, 2, 1))
+        lang = self.image_lang_att(x, l, l_mask).permute(0, 2, 1)
+        mm = self.project_mm(vis * lang)
+        return mm.permute(0, 2, 1)
+
+
+class SimpleDecodingOracle(nn.Module):
+    def __init__(self, c4):
+        super().__init__()
+        hid = c4 // 2
+        self.conv1_4 = nn.Conv2d(c4 + c4 // 2, hid, 3, padding=1, bias=False)
+        self.bn1_4 = nn.BatchNorm2d(hid)
+        self.conv2_4 = nn.Conv2d(hid, hid, 3, padding=1, bias=False)
+        self.bn2_4 = nn.BatchNorm2d(hid)
+        self.conv1_3 = nn.Conv2d(hid + c4 // 4, hid, 3, padding=1, bias=False)
+        self.bn1_3 = nn.BatchNorm2d(hid)
+        self.conv2_3 = nn.Conv2d(hid, hid, 3, padding=1, bias=False)
+        self.bn2_3 = nn.BatchNorm2d(hid)
+        self.conv1_2 = nn.Conv2d(hid + c4 // 8, hid, 3, padding=1, bias=False)
+        self.bn1_2 = nn.BatchNorm2d(hid)
+        self.conv2_2 = nn.Conv2d(hid, hid, 3, padding=1, bias=False)
+        self.bn2_2 = nn.BatchNorm2d(hid)
+        self.conv1_1 = nn.Conv2d(hid, 2, 1)
+
+    def forward(self, c4, c3, c2, c1):
+        def up(x, ref):
+            if x.size(-2) < ref.size(-2) or x.size(-1) < ref.size(-1):
+                return F.interpolate(x, size=ref.shape[-2:], mode="bilinear",
+                                     align_corners=True)
+            return x
+
+        x = torch.cat([up(c4, c3), c3], 1)
+        x = F.relu(self.bn1_4(self.conv1_4(x)))
+        x = F.relu(self.bn2_4(self.conv2_4(x)))
+        x = torch.cat([up(x, c2), c2], 1)
+        x = F.relu(self.bn1_3(self.conv1_3(x)))
+        x = F.relu(self.bn2_3(self.conv2_3(x)))
+        x = torch.cat([up(x, c1), c1], 1)
+        x = F.relu(self.bn1_2(self.conv1_2(x)))
+        x = F.relu(self.bn2_2(self.conv2_2(x)))
+        return self.conv1_1(x)
