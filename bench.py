@@ -1,0 +1,126 @@
+"""Benchmark: flagship RefCOCO inference throughput on one TPU chip.
+
+Measures lavt_one (Swin-Base, 480x480, window 12, bf16) single-chip
+inference images/sec — the BASELINE.json north-star config ("test.py path").
+
+vs_baseline is measured against the north-star target of
+5 x PyTorch-CPU images/sec (BASELINE.md): vs_baseline = ips / (5 * cpu_ips).
+The PyTorch-CPU throughput is measured once with the full torch LAVT-one
+oracle (tests/torch_lavt.py) and cached in .bench_baseline.json.
+
+Prints ONE JSON line on stdout; all diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_torch_cpu_ips(iters: int = 3) -> float:
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from torch_lavt import LAVTOneOracle
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    with torch.no_grad():
+        m = LAVTOneOracle(embed_dim=128, depths=(2, 2, 18, 2),
+                          heads=(4, 8, 16, 32), window=12)
+        m.eval()
+        img = torch.randn(1, 3, 480, 480)
+        ids = torch.randint(1000, 20000, (1, 20))
+        mask = torch.ones(1, 20, dtype=torch.long)
+        m(img, ids, mask)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m(img, ids, mask)
+        dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
+def get_cpu_baseline() -> float:
+    path = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["torch_cpu_images_per_sec"]
+    log("measuring PyTorch-CPU baseline (one-time)...")
+    ips = measure_torch_cpu_ips()
+    with open(path, "w") as f:
+        json.dump({"torch_cpu_images_per_sec": ips,
+                   "config": "lavt_one swin-base 480 window12 batch1"}, f)
+    log(f"torch CPU: {ips:.3f} images/sec")
+    return ips
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lavt_rs_tpu.config import lavt_one_base
+    from lavt_rs_tpu.models.factory import build_model
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cfg = lavt_one_base().replace(dtype="bfloat16")
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    ids_np = rng.integers(1000, 20000, (64, 20)).astype(np.int32)
+
+    best_ips, best_bs = 0.0, 0
+    variables = None
+    for bs in (8, 16, 32):
+        img = jnp.asarray(rng.standard_normal((bs, 480, 480, 3)), jnp.float32)
+        ids = jnp.asarray(ids_np[:bs])
+        mask = jnp.ones((bs, 20), jnp.int32)
+        if variables is None:
+            t0 = time.perf_counter()
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                            img[:1], ids[:1], mask[:1])
+            jax.block_until_ready(variables)
+            log(f"init: {time.perf_counter() - t0:.1f}s")
+
+        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+        t0 = time.perf_counter()
+        out = fwd(variables, img, ids, mask)
+        jax.block_until_ready(out)
+        log(f"bs={bs} compile+first: {time.perf_counter() - t0:.1f}s")
+
+        n_iter = 5
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fwd(variables, img, ids, mask)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_iter
+        ips = bs / dt
+        log(f"bs={bs}: {dt * 1000:.1f} ms/step, {ips:.2f} images/sec")
+        if ips > best_ips:
+            best_ips, best_bs = ips, bs
+
+    try:
+        cpu_ips = get_cpu_baseline()
+    except Exception as e:  # baseline measurement must never kill the bench
+        log(f"cpu baseline failed: {e!r}")
+        cpu_ips = None
+
+    result = {
+        "metric": "refcoco_infer_images_per_sec_per_chip",
+        "value": round(best_ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": (round(best_ips / (5.0 * cpu_ips), 3)
+                        if cpu_ips else None),
+    }
+    log(f"best: bs={best_bs}")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,332 @@
+"""3D PWAM family for the video backbone.
+
+Behavioral contract: reference lib/video_swin_transformer.py:1061-2089.
+The published default is SepTPWAM (A2D recipe: kernel_t=3-3-3, kernel_s=1-1-1
+with W and project_mm decomposed into temporal+spatial branches,
+README.md:185).  All variants consume (B, D, H, W, C) visual features and
+(B, N_l, D_l) language features and return (B, D*H*W, C).
+
+TPU-native layout: NDHWC convs (flax nn.Conv handles 3D kernels natively);
+the reference's 1x1 Conv1d projections become Dense; InstanceNorm3d
+(affine=False) is instance_norm_nd over (D, H, W).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import BranchFuse, TPWAMConfig, TPWAMKind
+from ..ops.norm import instance_norm_nd, instance_norm_tokens
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class ConvGELU3D(nn.Module):
+    """Conv3d + GELU (+Dropout) block, NDHWC."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Conv(self.features, self.kernel, padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        x = _gelu(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class ConvIN3D(nn.Module):
+    """Conv3d + InstanceNorm3d(affine=False), NDHWC."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, self.kernel, padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        return instance_norm_nd(x, axes=(1, 2, 3))
+
+
+class SelfGate3D(nn.Module):
+    """(1 + tanh-gate) self gate: x + g(x) * x, zero-init 1x1x1 convs
+    (reference video_swin_transformer.py:1345-1360)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = nn.Conv(self.dim, (1, 1, 1), use_bias=False,
+                    kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="fc1")(x)
+        g = nn.relu(g)
+        g = nn.Conv(self.dim, (1, 1, 1), use_bias=False,
+                    kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="fc2")(g)
+        return x + jnp.tanh(g) * x
+
+
+def _lang_kv(l, l_mask, dim, dtype):
+    """Shared language key/value projection with padding zeroing."""
+    key = nn.Dense(dim, dtype=dtype, name="f_key")(l)
+    value = nn.Dense(dim, dtype=dtype, name="f_value")(l)
+    m = l_mask.astype(dtype)[:, :, None]
+    return key * m, value * m
+
+
+def _cross_attention(query, key, value, l_mask, num_heads, dim):
+    """(B, THW, C) x (B, N_l, C) -> (B, THW, C) with the 1e4 mask trick."""
+    b, thw, _ = query.shape
+    n_l = key.shape[1]
+    h = num_heads
+    q = query.reshape(b, thw, h, dim // h).transpose(0, 2, 1, 3)
+    k = key.reshape(b, n_l, h, dim // h).transpose(0, 2, 1, 3)
+    v = value.reshape(b, n_l, h, dim // h).transpose(0, 2, 1, 3)
+    sim = jnp.einsum("bhld,bhnd->bhln", q, k,
+                     preferred_element_type=jnp.float32) * (dim ** -0.5)
+    mf = l_mask.astype(jnp.float32)[:, None, None, :]
+    sim = sim + (1e4 * mf - 1e4)
+    attn = jax.nn.softmax(sim, axis=-1).astype(query.dtype)
+    out = jnp.einsum("bhln,bhnd->bhld", attn, v,
+                     preferred_element_type=jnp.float32).astype(query.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, thw, dim)
+
+
+class SepTPWAM(nn.Module):
+    """Decoupled temporal/spatial PWAM — the published video default
+    (reference video_swin_transformer.py:1300-1584)."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    cfg: TPWAMConfig = TPWAMConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        c = self.cfg
+        b, d, h, w, ch = x.shape
+        assert ch == self.dim
+
+        # outer visual projection: temporal + spatial branches
+        t_vis = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+                           dtype=self.dtype, name="temporal_vis_project")(
+                               x, deterministic=deterministic)
+        s_vis = ConvGELU3D(self.dim, c.kernel_s, self.dropout,
+                           dtype=self.dtype, name="spatial_vis_project")(
+                               x, deterministic=deterministic)
+        if c.self_gate:
+            t_vis = SelfGate3D(self.dim, dtype=self.dtype, name="t_gate_v")(t_vis)
+            s_vis = SelfGate3D(self.dim, dtype=self.dtype, name="s_gate_v")(s_vis)
+        if c.branch_fuse == BranchFuse.CAT:
+            ts_vis = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+                                dtype=self.dtype, name="vis_fuse")(
+                jnp.concatenate([t_vis, s_vis], -1),
+                deterministic=deterministic)
+        else:
+            ts_vis = t_vis + s_vis
+            if c.branch_fuse == BranchFuse.SUM_CONV:
+                ts_vis = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+                                    dtype=self.dtype, name="vis_fuse")(
+                                        ts_vis, deterministic=deterministic)
+
+        # inner query: temporal + spatial conv branches with IN
+        q_t = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+                       name="f_query_t")(x)
+        q_s = ConvIN3D(self.dim, c.kernel_s, dtype=self.dtype,
+                       name="f_query_s")(x)
+        if c.self_gate:
+            q_t = SelfGate3D(self.dim, dtype=self.dtype, name="t_gate_q")(q_t)
+            q_s = SelfGate3D(self.dim, dtype=self.dtype, name="s_gate_q")(q_s)
+        if c.branch_fuse == BranchFuse.CAT:
+            query = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+                             name="f_fuse")(jnp.concatenate([q_t, q_s], -1))
+        else:
+            query = q_t + q_s
+            if c.branch_fuse == BranchFuse.SUM_CONV:
+                query = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+                                 name="f_fuse")(query)
+        query = query.reshape(b, d * h * w, self.dim)
+
+        key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
+        ts_lang = _cross_attention(query, key, value, l_mask,
+                                   self.num_heads, self.dim)
+
+        # out projection W (optionally decomposed t3x3 + s1x1)
+        if c.w_t3x3_s1x1:
+            lang3d = ts_lang.reshape(b, d, h, w, self.dim)
+            wt = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+                          name="W_t")(lang3d)
+            ws_ = ConvIN3D(self.dim, (1, 1, 1), dtype=self.dtype,
+                           name="W_s")(lang3d)
+            ts_lang = (wt + ws_).reshape(b, d * h * w, self.dim)
+        else:
+            ts_lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(ts_lang)
+            ts_lang = instance_norm_tokens(ts_lang)
+
+        mm = ts_vis.reshape(b, d * h * w, self.dim) * ts_lang
+
+        if c.mm_t3x3_s1x1:
+            mm3d = mm.reshape(b, d, h, w, self.dim)
+            mt = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+                            dtype=self.dtype, name="project_mm_t")(
+                                mm3d, deterministic=deterministic)
+            ms = ConvGELU3D(self.dim, (1, 1, 1), self.dropout,
+                            dtype=self.dtype, name="project_mm_s")(
+                                mm3d, deterministic=deterministic)
+            mm = (mt + ms).reshape(b, d * h * w, self.dim)
+        else:
+            mm = nn.Dense(self.dim, dtype=self.dtype, name="project_mm")(mm)
+            mm = _gelu(mm)
+            mm = nn.Dropout(self.dropout, deterministic=deterministic)(mm)
+        return mm
+
+
+class TPWAM(nn.Module):
+    """Single-branch 3D-conv PWAM (reference
+    video_swin_transformer.py:1186-1236): PWAM with the outer vis projection
+    and inner query as one Conv3d each."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    kernel: Tuple[int, int, int] = (3, 1, 1)
+    all_conv3d: bool = False  # TPWAMComp: W/project_mm also Conv3d
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        b, d, h, w, ch = x.shape
+        vis = ConvGELU3D(self.dim, self.kernel, self.dropout,
+                         dtype=self.dtype, name="vis_project")(
+                             x, deterministic=deterministic)
+        query = ConvIN3D(self.dim, self.kernel, dtype=self.dtype,
+                         name="f_query")(x)
+        query = query.reshape(b, d * h * w, self.dim)
+        key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
+        lang = _cross_attention(query, key, value, l_mask, self.num_heads,
+                                self.dim)
+        if self.all_conv3d:
+            lang3d = lang.reshape(b, d, h, w, self.dim)
+            lang = ConvIN3D(self.dim, self.kernel, dtype=self.dtype,
+                            name="W")(lang3d).reshape(b, d * h * w, self.dim)
+        else:
+            lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(lang)
+            lang = instance_norm_tokens(lang)
+        mm = vis.reshape(b, d * h * w, self.dim) * lang
+        if self.all_conv3d:
+            mm3d = mm.reshape(b, d, h, w, self.dim)
+            mm = ConvGELU3D(self.dim, self.kernel, self.dropout,
+                            dtype=self.dtype, name="project_mm")(
+                mm3d, deterministic=deterministic).reshape(
+                    b, d * h * w, self.dim)
+        else:
+            mm = nn.Dense(self.dim, dtype=self.dtype, name="project_mm")(mm)
+            mm = _gelu(mm)
+            mm = nn.Dropout(self.dropout, deterministic=deterministic)(mm)
+        return mm
+
+
+class TSPWAM(nn.Module):
+    """Two full parallel PWAMs — spatial (1x1x1) and temporal (conv3d) —
+    fused by sum (reference video_swin_transformer.py:1061-1183)."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    kernel: Tuple[int, int, int] = (3, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        t = TPWAM(dim=self.dim, num_heads=self.num_heads,
+                  dropout=self.dropout, kernel=self.kernel, dtype=self.dtype,
+                  name="temporal")(x, l, l_mask, deterministic=deterministic)
+        s = TPWAM(dim=self.dim, num_heads=self.num_heads,
+                  dropout=self.dropout, kernel=(1, 1, 1), dtype=self.dtype,
+                  name="spatial")(x, l, l_mask, deterministic=deterministic)
+        return t + s
+
+
+class SeqTPWAM(nn.Module):
+    """P3D-A style sequential spatial->temporal PWAM with optional P3D-C
+    residual (reference video_swin_transformer.py:1697-1819)."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    kernel_t: Tuple[int, int, int] = (3, 1, 1)
+    kernel_s: Tuple[int, int, int] = (1, 3, 3)
+    residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        b, d, h, w, ch = x.shape
+        s_vis = ConvGELU3D(self.dim, self.kernel_s, self.dropout,
+                           dtype=self.dtype, name="spatial_vis_project")(
+                               x, deterministic=deterministic)
+        t_vis = ConvGELU3D(self.dim, self.kernel_t, self.dropout,
+                           dtype=self.dtype, name="temporal_vis_project")(
+                               s_vis, deterministic=deterministic)
+        vis = t_vis + s_vis if self.residual else t_vis
+
+        q_s = ConvIN3D(self.dim, self.kernel_s, dtype=self.dtype,
+                       name="f_query_s")(x)
+        q_t = ConvIN3D(self.dim, self.kernel_t, dtype=self.dtype,
+                       name="f_query_t")(q_s)
+        query = (q_t + q_s if self.residual else q_t).reshape(
+            b, d * h * w, self.dim)
+
+        key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
+        lang = _cross_attention(query, key, value, l_mask, self.num_heads,
+                                self.dim)
+        lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(lang)
+        lang = instance_norm_tokens(lang)
+        mm = vis.reshape(b, d * h * w, self.dim) * lang
+        mm = nn.Dense(self.dim, dtype=self.dtype, name="project_mm")(mm)
+        mm = _gelu(mm)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(mm)
+
+
+def build_tpwam(cfg: TPWAMConfig, dim: int, num_heads: int, dropout: float,
+                dtype, name: str = "fusion") -> nn.Module:
+    """Factory over the 3D-PWAM family (the reference's 8 boolean flags,
+    SURVEY.md §2.1)."""
+    k = cfg.kind
+    if k == TPWAMKind.SEP:
+        return SepTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                        cfg=cfg, dtype=dtype, name=name)
+    if k == TPWAMKind.SEP_INNER:
+        # inner-query-only decoupling: SepTPWAM minus the outer split —
+        # modeled as SepTPWAM with plain Dense W / project_mm
+        inner = TPWAMConfig(kind=k, kernel_t=cfg.kernel_t,
+                            kernel_s=cfg.kernel_s, branch_fuse=cfg.branch_fuse,
+                            w_t3x3_s1x1=False, mm_t3x3_s1x1=False)
+        return SepTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                        cfg=inner, dtype=dtype, name=name)
+    if k == TPWAMKind.T:
+        return TPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                     kernel=cfg.kernel_t, dtype=dtype, name=name)
+    if k == TPWAMKind.T_COMP:
+        return TPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                     kernel=cfg.kernel_t, all_conv3d=True, dtype=dtype,
+                     name=name)
+    if k == TPWAMKind.TS:
+        return TSPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                      kernel=cfg.kernel_t, dtype=dtype, name=name)
+    if k in (TPWAMKind.SEQ, TPWAMKind.SEP_SEQ, TPWAMKind.SEP_SEQ_INNER):
+        return SeqTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                        kernel_t=cfg.kernel_t, kernel_s=cfg.kernel_s,
+                        residual=cfg.seq_residual, dtype=dtype, name=name)
+    raise ValueError(f"unknown 3D PWAM kind: {k}")

@@ -25,3 +25,18 @@ def instance_norm_tokens(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     var = jnp.mean(jnp.square(xf - mean), axis=-2, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_nd(x: jnp.ndarray, axes, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over arbitrary spatial axes (channels-last layout).
+
+    Matches torch InstanceNorm3d(affine=False): per-sample, per-channel
+    statistics over the spatial axes (reference SepTPWAM uses
+    nn.InstanceNorm3d on (B, C, D, H, W); here x is (B, D, H, W, C) and
+    axes=(1, 2, 3)).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)

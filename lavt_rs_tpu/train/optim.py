@@ -1,0 +1,118 @@
+"""Optimizer & LR schedule with the reference's param-group semantics.
+
+Behavioral contract (reference train.py:615-700):
+  * AdamW, lr 5e-5, weight_decay 1e-2 (torch defaults b1=0.9 b2=0.999
+    eps=1e-8, decoupled decay), optional amsgrad.
+  * Backbone params whose name contains 'norm', 'absolute_pos_embed' or
+    'relative_position_bias_table' get weight_decay 0 (classifier and BERT
+    groups keep the default decay — including decoder BN scales, as in the
+    reference).
+  * BERT subsetting via `lang_enc_params` (train.py:634-686): params not in
+    any optimizer group are FROZEN (receive no updates):
+      - encoder-10 (default): only encoder layers 0-9 train; embeddings and
+        layers 10-11 frozen.
+      - encoder-all: all encoder layers; embeddings frozen.
+      - embeddings+encoder-10 / embeddings+encoder-all: as named.
+  * Poly LR per *iteration*: lr * (1 - it / total_iters)^0.9
+    (train.py:699-700), or constant with fix_lr.
+
+Implemented as one optax.multi_transform over three labels:
+  'decay' / 'no_decay' / 'frozen'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional
+
+import jax
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-5
+    weight_decay: float = 1e-2
+    epochs: int = 40
+    iters_per_epoch: int = 1000
+    lang_enc_params: str = "encoder-10"
+    bert_trainable_layers: int = 10
+    loss: str = "cross_entropy"  # see losses.LOSSES
+    amsgrad: bool = False
+    fix_lr: bool = False
+    poly_power: float = 0.9
+    batch_size: int = 8  # global
+    grad_clip: Optional[float] = None
+
+    @property
+    def total_iters(self) -> int:
+        return self.epochs * self.iters_per_epoch
+
+
+_NO_DECAY_RE = re.compile(
+    r"norm|absolute_pos_embed|relative_position_bias_table")
+_BERT_LAYER_RE = re.compile(r"text_encoder/layer_(\d+)/")
+
+
+def label_param(path: str, cfg: TrainConfig) -> str:
+    """Assign 'decay' / 'no_decay' / 'frozen' to a flat param path like
+    'backbone/layers_0/blocks_0/norm1/scale'."""
+    if path.startswith("text_encoder/"):
+        enc = cfg.lang_enc_params
+        m = _BERT_LAYER_RE.search(path)
+        if m is not None:
+            layer = int(m.group(1))
+            if enc in ("encoder-10", "embeddings+encoder-10") and \
+                    layer >= cfg.bert_trainable_layers:
+                return "frozen"
+            return "decay"
+        # embeddings (+ their layernorm)
+        if enc.startswith("embeddings+"):
+            return "decay"
+        return "frozen"
+    if path.startswith("backbone/") and _NO_DECAY_RE.search(path):
+        return "no_decay"
+    return "decay"
+
+
+def _flatten_labels(params, cfg: TrainConfig):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda kp, _: label_param(path_str(kp), cfg), params)
+    return labels
+
+
+def poly_schedule(cfg: TrainConfig):
+    if cfg.fix_lr:
+        return cfg.lr
+
+    def sched(step):
+        import jax.numpy as jnp
+
+        frac = 1.0 - step / cfg.total_iters
+        return cfg.lr * jnp.maximum(frac, 0.0) ** cfg.poly_power
+
+    return sched
+
+
+def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = poly_schedule(cfg)
+
+    def adamw(wd):
+        tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=wd, nesterov=False)
+        if cfg.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+        return tx
+
+    labels = _flatten_labels(params, cfg)
+    return optax.multi_transform(
+        {"decay": adamw(cfg.weight_decay), "no_decay": adamw(0.0),
+         "frozen": optax.set_to_zero()},
+        labels)

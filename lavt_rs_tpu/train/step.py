@@ -1,0 +1,105 @@
+"""The jitted training / evaluation step.
+
+One fused XLA program per step: BERT -> multimodal Swin -> decoder ->
+corner-aligned resize -> loss -> grads -> AdamW update (the reference runs
+these as separate CUDA launches plus a DDP all-reduce; here XLA fuses and
+inserts the gradient psum over the 'data' mesh axis automatically).
+
+Activation dtype comes from ModelConfig.dtype (bf16 recommended on TPU —
+the reference's AMP equivalent, train.py:452-459); params and the optimizer
+stay float32, and no loss scaling is needed with bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..config import ModelConfig
+from ..losses import get_loss
+from ..metrics import batch_iou
+from .optim import TrainConfig, build_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, variables, tcfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(params, tcfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    ), tx
+
+
+def make_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
+    """Returns step(state, batch, dropout_rng) -> (state, metrics).
+
+    `model_train` must be built with train=True (BatchNorm uses batch
+    stats; under a data-sharded jit the stats are global = SyncBN).
+    batch: {'image': (B,H,W,3), 'ids': (B,N), 'mask': (B,N),
+            'target': (B,H,W) int}
+    """
+    loss_fn = get_loss(tcfg.loss)
+
+    def compute_loss(params, batch_stats, batch, rng):
+        out, mutated = model_train.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], batch["ids"], batch["mask"],
+            deterministic=False, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        loss = loss_fn(out, batch["target"])
+        return loss, (mutated["batch_stats"], out)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        inter, union = batch_iou(out, batch["target"])
+        metrics = {
+            "loss": loss,
+            "iou": jnp.mean(jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)),
+            "lr": _current_lr(state.step, tcfg),
+        }
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return step
+
+
+def _current_lr(step, tcfg: TrainConfig):
+    if tcfg.fix_lr:
+        return jnp.asarray(tcfg.lr)
+    frac = 1.0 - step / tcfg.total_iters
+    return tcfg.lr * jnp.maximum(frac, 0.0) ** tcfg.poly_power
+
+
+def make_eval_step(model_eval) -> Callable:
+    """Returns eval_step(variables, batch) -> (logits, inter, union)."""
+
+    def eval_step(variables, batch):
+        out = model_eval.apply(variables, batch["image"], batch["ids"],
+                               batch["mask"])
+        inter, union = batch_iou(out, batch["target"])
+        return out, inter, union
+
+    return eval_step

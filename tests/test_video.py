@@ -1,0 +1,105 @@
+"""Video backbone tests: SepTPWAM parity vs torch oracle, 3D block window
+clamping, LAVTVideo end-to-end shapes, TPWAM variant smoke tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from lavt_rs_tpu.config import (
+    TPWAMConfig, TPWAMKind, lavt_video_tiny,
+)
+from lavt_rs_tpu.convert import torch2jax as cv
+from lavt_rs_tpu.models.tpwam import SepTPWAM, build_tpwam
+from lavt_rs_tpu.models.factory import build_model
+
+import torch_oracles as oracle
+
+
+def _conv3d_params(sd, src):
+    # torch Conv3d weight (out, in, kd, kh, kw) -> flax (kd, kh, kw, in, out)
+    return {"kernel": cv._conv3d(sd[f"{src}.weight"]),
+            "bias": sd[f"{src}.bias"]}
+
+
+def test_sep_tpwam_parity(rng):
+    torch.manual_seed(0)
+    dim, l_in, B, D, H, W, NL = 16, 24, 2, 3, 4, 4, 5
+    om = oracle.SepTPWAMOracle(dim, l_in, heads=2)
+    om.eval()
+
+    x = rng.standard_normal((B, D, H, W, dim)).astype(np.float32)
+    l = rng.standard_normal((B, NL, l_in)).astype(np.float32)
+    mask = np.ones((B, NL), np.float32)
+    mask[0, 3:] = 0
+
+    with torch.no_grad():
+        want = om(torch.from_numpy(x),
+                  torch.from_numpy(l.transpose(0, 2, 1)),
+                  torch.from_numpy(mask[:, :, None])).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in om.state_dict().items()}
+    params = {
+        "temporal_vis_project": {"conv": _conv3d_params(sd, "temporal_vis_project.0")},
+        "spatial_vis_project": {"conv": _conv3d_params(sd, "spatial_vis_project.0")},
+        "f_query_t": {"conv": _conv3d_params(sd, "f_query_t.0")},
+        "f_query_s": {"conv": _conv3d_params(sd, "f_query_s.0")},
+        "f_key": {"kernel": cv._lin(sd["f_key.0.weight"]),
+                  "bias": sd["f_key.0.bias"]},
+        "f_value": {"kernel": cv._lin(sd["f_value.0.weight"]),
+                    "bias": sd["f_value.0.bias"]},
+        "W_t": {"conv": _conv3d_params(sd, "W_t.0")},
+        "W_s": {"conv": _conv3d_params(sd, "W_s.0")},
+        "project_mm_t": {"conv": _conv3d_params(sd, "project_mm_t.0")},
+        "project_mm_s": {"conv": _conv3d_params(sd, "project_mm_s.0")},
+    }
+    m = SepTPWAM(dim=dim, num_heads=2)
+    got = np.asarray(m.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(l), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", [TPWAMKind.SEP, TPWAMKind.SEP_INNER,
+                                  TPWAMKind.T, TPWAMKind.T_COMP,
+                                  TPWAMKind.TS, TPWAMKind.SEQ])
+def test_tpwam_variants_smoke(kind, rng):
+    cfg = TPWAMConfig(kind=kind, kernel_t=(3, 1, 1))
+    m = build_tpwam(cfg, dim=8, num_heads=2, dropout=0.0,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 8)).astype(np.float32))
+    l = jnp.asarray(rng.standard_normal((1, 5, 12)).astype(np.float32))
+    mask = jnp.ones((1, 5))
+    v = m.init(jax.random.PRNGKey(0), x, l, mask)
+    out = m.apply(v, x, l, mask)
+    assert out.shape == (1, 2 * 4 * 4, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_block3d_window_clamp(rng):
+    """When D < window depth, the window clamps and shift drops to 0
+    (reference get_window_size, video_swin_transformer.py:70-83)."""
+    from lavt_rs_tpu.models.swin3d import SwinBlock3D
+
+    m = SwinBlock3D(dim=8, num_heads=2, window_size=(8, 4, 4),
+                    shift_size=(4, 2, 2))
+    x = jnp.asarray(rng.standard_normal((1, 3, 8, 8, 8)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lavt_video_shapes():
+    cfg = lavt_video_tiny().replace(img_size=32, max_tokens=4, num_frames=4)
+    cfg = cfg.replace(bert=dataclasses.replace(
+        cfg.bert, vocab_size=60, num_layers=1))
+    model = build_model(cfg)
+    vid = jnp.zeros((2, 4, 32, 32, 3))
+    ids = jnp.ones((2, 4), jnp.int32)
+    msk = jnp.ones((2, 4), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), vid, ids, msk)
+    out = model.apply(v, vid, ids, msk)
+    assert out.shape == (8, 32, 32, 2)  # (B*T, H, W, classes)

@@ -200,3 +200,59 @@ class SimpleDecodingOracle(nn.Module):
         x = F.relu(self.bn1_2(self.conv1_2(x)))
         x = F.relu(self.bn2_2(self.conv2_2(x)))
         return self.conv1_1(x)
+
+
+class SepTPWAMOracle(nn.Module):
+    """SepTPWAM with the A2D defaults: kernel_t, kernel_s branches, sum
+    fuse, W and project_mm decomposed into t(3,3,3)+s(1,1,1)."""
+
+    def __init__(self, dim, l_in=768, heads=1, kt=(3, 3, 3), ks=(1, 1, 1)):
+        super().__init__()
+        self.heads, self.dim = heads, dim
+        pt = tuple(k // 2 for k in kt)
+        ps = tuple(k // 2 for k in ks)
+        self.temporal_vis_project = nn.Sequential(
+            nn.Conv3d(dim, dim, kt, 1, pt), nn.GELU())
+        self.spatial_vis_project = nn.Sequential(
+            nn.Conv3d(dim, dim, ks, 1, ps), nn.GELU())
+        self.f_query_t = nn.Sequential(nn.Conv3d(dim, dim, kt, 1, pt),
+                                       nn.InstanceNorm3d(dim))
+        self.f_query_s = nn.Sequential(nn.Conv3d(dim, dim, ks, 1, ps),
+                                       nn.InstanceNorm3d(dim))
+        self.f_key = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.f_value = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.W_t = nn.Sequential(nn.Conv3d(dim, dim, kt, 1, pt),
+                                 nn.InstanceNorm3d(dim))
+        self.W_s = nn.Sequential(nn.Conv3d(dim, dim, 1, 1, 0),
+                                 nn.InstanceNorm3d(dim))
+        self.project_mm_t = nn.Sequential(nn.Conv3d(dim, dim, kt, 1, pt),
+                                          nn.GELU())
+        self.project_mm_s = nn.Sequential(nn.Conv3d(dim, dim, 1, 1, 0),
+                                          nn.GELU())
+
+    def forward(self, x, l, l_mask):
+        # x: (B, D, H, W, C); l: (B, l_in, N_l); l_mask: (B, N_l, 1)
+        B, D, H, W, C = x.shape
+        x = x.permute(0, 4, 1, 2, 3)
+        ts_vis = (self.temporal_vis_project(x)
+                  + self.spatial_vis_project(x)).view(B, C, D * H * W)
+        l_mask = l_mask.permute(0, 2, 1)
+        query = (self.f_query_t(x) + self.f_query_s(x))
+        query = query.permute(0, 2, 3, 4, 1).reshape(B, D * H * W, C)
+        key = self.f_key(l) * l_mask
+        value = self.f_value(l) * l_mask
+        n_l = value.size(-1)
+        h = self.heads
+        query = query.reshape(B, D * H * W, h, C // h).permute(0, 2, 1, 3)
+        key = key.reshape(B, h, C // h, n_l)
+        value = value.reshape(B, h, C // h, n_l)
+        sim = torch.matmul(query, key) * (C ** -0.5)
+        sim = sim + (1e4 * l_mask.unsqueeze(1) - 1e4)
+        sim = F.softmax(sim, dim=-1)
+        lang = torch.matmul(sim, value.permute(0, 1, 3, 2))
+        lang = lang.permute(0, 2, 1, 3).reshape(B, D * H * W, C)
+        lang = lang.permute(0, 2, 1).view(B, C, D, H, W)
+        lang = (self.W_t(lang) + self.W_s(lang)).view(B, C, D * H * W)
+        mm = (ts_vis * lang).view(B, C, D, H, W)
+        mm = (self.project_mm_t(mm) + self.project_mm_s(mm)).view(B, C, -1)
+        return mm.permute(0, 2, 1)
