@@ -1,0 +1,134 @@
+"""Evaluation entry point — the reference test.py equivalent.
+
+Evaluates every sentence of every ref object and prints mIoU / oIoU / P@K
+(reference test.py:53-109 loop + 100-109 summary).
+
+Use --synthetic for a data-free smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("lavt_rs_tpu evaluation")
+    p.add_argument("--model", default="lavt_one")
+    p.add_argument("--dataset", default="refcoco")
+    p.add_argument("--splitBy", default="unc")
+    p.add_argument("--split", default="val")
+    p.add_argument("--swin_type", default="base")
+    p.add_argument("--window12", action="store_true")
+    p.add_argument("--img_size", type=int, default=480)
+    p.add_argument("--max_tokens", type=int, default=20)
+    p.add_argument("--refer_data_root", default="./refer/data")
+    p.add_argument("--vocab", default="./vocab.txt")
+    p.add_argument("--checkpoint", default="",
+                   help="orbax dir (ours) or torch .pth (converted)")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--max_items", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..eval.refcoco_eval import evaluate
+    from ..models.factory import build_model, make_config
+
+    cfg = make_config(args.model, swin_type=args.swin_type,
+                      window12=args.window12, img_size=args.img_size,
+                      max_tokens=args.max_tokens,
+                      dtype="bfloat16" if args.bf16 else "float32")
+    model = build_model(cfg)
+
+    if args.synthetic:
+        # tiny random model + synthetic 4-ref dataset for a smoke run
+        import dataclasses
+
+        from lavt_rs_tpu.config import SwinConfig
+
+        cfg = cfg.replace(
+            swin=SwinConfig(embed_dim=48, depths=(1, 1, 2, 1),
+                            num_heads=(3, 6, 12, 24), window_size=7),
+            bert=dataclasses.replace(cfg.bert, num_layers=2),
+            img_size=64, max_tokens=8)
+        model = build_model(cfg)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+
+        class FakeDS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                from ..data.refcoco import ReferExample
+
+                s = 1 + i % 3
+                return ReferExample(
+                    image=rng.standard_normal((64, 64, 3)).astype(np.float32),
+                    target=rng.integers(0, 2, (64, 64)).astype(np.int32),
+                    ids=rng.integers(0, 100, (s, 8)).astype(np.int32),
+                    mask=np.ones((s, 8), np.int32), ref_id=i)
+
+        ds = FakeDS()
+    else:
+        from ..data.refer import REFER
+        from ..data.refcoco import ReferDataset
+        from ..text.tokenizer import WordPieceTokenizer
+
+        refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        ds = ReferDataset(refer, tok, split=args.split,
+                          img_size=args.img_size,
+                          max_tokens=args.max_tokens, eval_mode=True)
+
+        if args.checkpoint.endswith((".pth", ".pt")):
+            from ..convert.torch2jax import convert_lavt_one_file
+
+            variables = jax.tree.map(jnp.asarray,
+                                     convert_lavt_one_file(args.checkpoint,
+                                                           cfg))
+        elif args.checkpoint:
+            from ..train.checkpoint import restore_checkpoint
+            from ..train.optim import TrainConfig
+            from ..train.step import create_train_state
+
+            variables = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, cfg.img_size, cfg.img_size,
+                                              3)),
+                                   jnp.ones((1, cfg.max_tokens), jnp.int32),
+                                   jnp.ones((1, cfg.max_tokens), jnp.int32)))
+            state, _ = create_train_state(
+                model, jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), variables),
+                TrainConfig())
+            state, _, _ = restore_checkpoint(args.checkpoint, state)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        else:
+            print("WARNING: no checkpoint; evaluating random weights",
+                  file=sys.stderr)
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+                jnp.ones((1, cfg.max_tokens), jnp.int32),
+                jnp.ones((1, cfg.max_tokens), jnp.int32))
+
+    summary = evaluate(lambda v, *a: model.apply(v, *a), variables, ds,
+                       max_items=args.max_items or None)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Ref-YouTube-VOS full-set inference — the reference test_ytvos.py
+equivalent: dump per-frame PNG masks for competition-server upload.
+
+Behavioral contract (reference test_ytvos.py:52-279):
+  * validation set = (valid ∪ test meta_expressions) minus test videos,
+    asserted == 202 videos;
+  * per video, per expression: tokenize (max 22), load ALL frames as ONE
+    clip, single forward, bilinear-resize logits to the original
+    resolution, argmax, save {out}/{video}/{exp_id}/{frame}.png;
+  * work sharded across workers — here by jax.process_index() over hosts
+    (the reference spawns one mp.Process per GPU).
+
+TPU twist: whole-video clips can exceed HBM; --chunk_frames splits the
+video into temporal chunks processed independently (temporal attention
+windows are local, so chunk boundaries only affect a window-sized halo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("lavt_rs_tpu ytvos inference")
+    p.add_argument("--ytvos_root", default="./data/ref-youtube-vos")
+    p.add_argument("--swin_type", default="tiny")
+    p.add_argument("--window12", action="store_true")
+    p.add_argument("--img_size", type=int, default=480)
+    p.add_argument("--vocab", default="./vocab.txt")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--out", default="./ytvos_masks")
+    p.add_argument("--split", default="valid")
+    p.add_argument("--chunk_frames", type=int, default=0,
+                   help="process videos in temporal chunks of this size")
+    p.add_argument("--max_videos", type=int, default=0)
+    return p
+
+
+def load_validation_videos(root: str, split: str):
+    """valid+test metas minus test videos == the 202 competition videos
+    (reference test_ytvos.py:84-99)."""
+    with open(os.path.join(root, "meta_expressions", "valid",
+                           "meta_expressions.json")) as f:
+        valid = json.load(f)["videos"]
+    test_path = os.path.join(root, "meta_expressions", "test",
+                             "meta_expressions.json")
+    if os.path.exists(test_path):
+        with open(test_path) as f:
+            test = json.load(f)["videos"]
+        videos = {k: v for k, v in valid.items() if k not in test}
+    else:
+        videos = valid
+    return videos
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..data.transforms import normalize, resize_pair
+    from ..models.factory import build_model, make_config
+    from ..ops.resize import resize_2d
+    from ..text.tokenizer import WordPieceTokenizer
+
+    videos = load_validation_videos(args.ytvos_root, args.split)
+    names = sorted(videos.keys())
+    # shard across hosts
+    names = names[jax.process_index()::jax.process_count()]
+    if args.max_videos:
+        names = names[: args.max_videos]
+
+    cfg = make_config("lavt_video", swin_type=args.swin_type,
+                      window12=args.window12, img_size=args.img_size,
+                      max_tokens=22, dtype="bfloat16")
+    model = build_model(cfg)
+    tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+
+    variables = None
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+
+    for vi, vid in enumerate(names):
+        frames = sorted(videos[vid]["frames"])
+        imgs, sizes = [], None
+        for fr in frames:
+            img = Image.open(os.path.join(
+                args.ytvos_root, args.split, "JPEGImages", vid,
+                f"{fr}.jpg")).convert("RGB")
+            sizes = (img.height, img.width)
+            rimg, _ = resize_pair(img, None, (args.img_size, args.img_size))
+            imgs.append(normalize(np.asarray(rimg)))
+        clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
+
+        if variables is None:
+            if args.checkpoint:
+                raise NotImplementedError(
+                    "checkpoint loading: use cli.test-style restore")
+            print("WARNING: random weights (no --checkpoint)",
+                  file=sys.stderr)
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0), clip[:, :1],
+                jnp.ones((1, 22), jnp.int32), jnp.ones((1, 22), jnp.int32))
+
+        for exp_id, exp in videos[vid]["expressions"].items():
+            ids, attn = tok.encode_padded(exp["exp"], 22)
+            ids = jnp.asarray(ids[None].astype(np.int32))
+            attn = jnp.asarray(attn[None].astype(np.int32))
+
+            chunks = []
+            T = clip.shape[1]
+            step = args.chunk_frames or T
+            for s in range(0, T, step):
+                logits = fwd(variables, clip[:, s:s + step], ids, attn)
+                chunks.append(np.asarray(
+                    resize_2d(logits, sizes).argmax(-1)).astype(np.uint8))
+            pred = np.concatenate(chunks, axis=0)  # (T, H, W)
+
+            out_dir = os.path.join(args.out, vid, str(exp_id))
+            os.makedirs(out_dir, exist_ok=True)
+            for t, fr in enumerate(frames):
+                Image.fromarray(pred[t] * 255).save(
+                    os.path.join(out_dir, f"{fr}.png"))
+        print(f"[{vi + 1}/{len(names)}] {vid}: "
+              f"{len(videos[vid]['expressions'])} expressions",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

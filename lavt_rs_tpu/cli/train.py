@@ -1,0 +1,191 @@
+"""Training entry point — the reference train.py equivalent.
+
+Single jitted program per step over a data mesh (no torch.distributed
+launcher: multi-chip = same script under `jax.distributed.initialize`).
+
+Example (RefCOCO, lavt_one Swin-B, the README.md:167 recipe):
+  python -m lavt_rs_tpu.cli.train --dataset refcoco --model lavt_one \
+      --swin_type base --window12 --lr 5e-5 --epochs 40 --batch_size 32 \
+      --refer_data_root ./refer/data --vocab ./bert-base-uncased-vocab.txt \
+      --output_dir ./checkpoints
+
+Use --synthetic to smoke-run the full loop without data on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("lavt_rs_tpu training")
+    p.add_argument("--model", default="lavt_one",
+                   choices=["lavt", "lavt_one", "lavt_video"])
+    p.add_argument("--dataset", default="refcoco",
+                   choices=["refcoco", "refcoco+", "refcocog"])
+    p.add_argument("--splitBy", default="unc")
+    p.add_argument("--split", default="train")
+    p.add_argument("--val_split", default="val")
+    p.add_argument("--swin_type", default="base",
+                   choices=["tiny", "small", "base", "large"])
+    p.add_argument("--window12", action="store_true")
+    p.add_argument("--img_size", type=int, default=480)
+    p.add_argument("--max_tokens", type=int, default=20)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="GLOBAL batch size (split across chips)")
+    p.add_argument("--loss", default="cross_entropy",
+                   choices=["cross_entropy", "dice", "dice_focal",
+                            "dice_boundary"])
+    p.add_argument("--lang_enc_params", default="encoder-10")
+    p.add_argument("--fix_lr", action="store_true")
+    p.add_argument("--amp", dest="bf16", action="store_true", default=True,
+                   help="bf16 activations (default on; TPU-native AMP)")
+    p.add_argument("--no_bf16", dest="bf16", action="store_false")
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="remat Swin blocks")
+    p.add_argument("--refer_data_root", default="./refer/data")
+    p.add_argument("--vocab", default="./vocab.txt")
+    p.add_argument("--pretrained", default="",
+                   help="torch .pth to convert and load (Swin/LAVT ckpt)")
+    p.add_argument("--resume", default="")
+    p.add_argument("--output_dir", default="./checkpoints")
+    p.add_argument("--keep_checkpoints", type=int, default=0,
+                   help="keep only last N checkpoints (0 = all)")
+    p.add_argument("--eval_every", type=int, default=1)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--synthetic", action="store_true",
+                   help="random data smoke run (no dataset needed)")
+    p.add_argument("--synthetic_steps", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_cfg(args):
+    from ..models.factory import make_config
+
+    return make_config(
+        args.model, swin_type=args.swin_type, window12=args.window12,
+        img_size=args.img_size, max_tokens=args.max_tokens,
+        use_checkpoint=args.use_checkpoint,
+        dtype="bfloat16" if args.bf16 else "float32")
+
+
+def synthetic_batches(args, steps, rng):
+    for _ in range(steps):
+        yield {
+            "image": rng.standard_normal(
+                (args.batch_size, args.img_size, args.img_size, 3)
+            ).astype(np.float32),
+            "ids": rng.integers(
+                0, 30000, (args.batch_size, args.max_tokens)
+            ).astype(np.int32),
+            "mask": np.ones((args.batch_size, args.max_tokens), np.int32),
+            "target": rng.integers(
+                0, 2, (args.batch_size, args.img_size, args.img_size)
+            ).astype(np.int32),
+        }
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.factory import build_model
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from ..train.optim import TrainConfig
+    from ..train.step import create_train_state, make_train_step
+
+    cfg = build_cfg(args)
+    model = build_model(cfg, train=True)
+    rng = np.random.default_rng(args.seed)
+
+    # data
+    if args.synthetic:
+        iters_per_epoch = args.synthetic_steps
+
+        def epoch_batches(epoch):
+            return synthetic_batches(args, args.synthetic_steps, rng)
+    else:
+        from ..data.refer import REFER
+        from ..data.refcoco import ReferDataset, batch_iterator
+        from ..text.tokenizer import WordPieceTokenizer
+
+        refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        train_ds = ReferDataset(refer, tok, split=args.split,
+                                img_size=args.img_size,
+                                max_tokens=args.max_tokens)
+        iters_per_epoch = len(train_ds) // args.batch_size
+
+        def epoch_batches(epoch):
+            return batch_iterator(train_ds, args.batch_size, shuffle=True,
+                                  seed=args.seed + epoch)
+
+    tcfg = TrainConfig(
+        lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
+        iters_per_epoch=max(iters_per_epoch, 1), loss=args.loss,
+        lang_enc_params=args.lang_enc_params, fix_lr=args.fix_lr,
+        batch_size=args.batch_size)
+
+    # init
+    b0 = {k: v[:1] for k, v in next(iter(epoch_batches(0))).items()}
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed), jnp.asarray(b0["image"]),
+        jnp.asarray(b0["ids"]), jnp.asarray(b0["mask"]))
+
+    if args.pretrained:
+        from ..convert.torch2jax import convert_lavt_one_file
+
+        print(f"converting torch checkpoint {args.pretrained}",
+              file=sys.stderr)
+        converted = convert_lavt_one_file(args.pretrained, cfg)
+        variables = jax.tree.map(jnp.asarray, converted)
+
+    state, tx = create_train_state(model, variables, tcfg)
+    start_epoch = 0
+    if args.resume:
+        path = (latest_checkpoint(args.resume)
+                if not args.resume.startswith("epoch_") else args.resume)
+        state, _, start_epoch = restore_checkpoint(path, state)
+        print(f"resumed from {path} at epoch {start_epoch}", file=sys.stderr)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    step_fn = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=(0,))
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        losses = []
+        for it, batch in enumerate(epoch_batches(epoch)):
+            batch.pop("ref_id", None)
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch, key)
+            if (it + 1) % args.print_freq == 0 or args.synthetic:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                print(f"epoch {epoch} [{it + 1}/{iters_per_epoch}] "
+                      f"loss={loss:.4f} iou={float(metrics['iou']):.4f} "
+                      f"lr={float(metrics['lr']):.2e}", file=sys.stderr)
+        print(f"epoch {epoch} done in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        if args.output_dir:
+            save_checkpoint(args.output_dir, epoch, state,
+                            extra={"args": vars(args)},
+                            keep=args.keep_checkpoints or None)
+    print("training complete", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -206,6 +206,7 @@ class ModelConfig:
     seg_last: bool = False
     # Video
     num_frames: int = 8
+    hybrid_2d_3d: bool = False  # --ytvos_2d_swin_3d_pwam: 2D Swin + 3D PWAM
     use_checkpoint: bool = False  # jax.checkpoint per Swin block
     # Compute dtype for activations; params stay float32.
     dtype: str = "float32"

@@ -276,6 +276,154 @@ def convert_simple_decoding(sd: FlatDict, prefix: str = "classifier."):
 
 
 # ---------------------------------------------------------------------------
+# Swin 3D multimodal backbone (video) + 2D->3D surgery
+# ---------------------------------------------------------------------------
+
+def inflate_rel_pos_table_2d_to_3d(table: Array, window_3d) -> Array:
+    """2D bias table -> 3D: bicubic spatial resize to (2Wh-1)(2Ww-1), then
+    temporal tiling repeat(2*Wd-1, 1) (reference lib/_utils.py:156-175)."""
+    wd, wh, ww = window_3d
+    table = interpolate_rel_pos_bias(table, (wh, ww))
+    return np.tile(table, (2 * wd - 1, 1))
+
+
+def inflate_patch_embed_2d_to_3d(w: Array) -> Array:
+    """Conv2d (out,in,kh,kw) -> Conv3d (out,in,1,kh,kw): temporal unsqueeze
+    (reference lib/_utils.py:153; the video patch depth is always 1)."""
+    return w[:, :, None]
+
+
+def sum_patch_embed_temporal(w: Array) -> Array:
+    """Kinetics VideoSwin (out,in,kd,kh,kw) -> depth-1 patch embed by
+    summing over the temporal kernel dim (reference
+    lib/video_swin_transformer.py:841-843)."""
+    return w.sum(axis=2, keepdims=True)
+
+
+def convert_mm_swin3d(sd: FlatDict, cfg: ModelConfig,
+                      prefix: str = "backbone.", from_2d: bool = False,
+                      drop_fusion: bool = False) -> dict:
+    """Reference MultiModalSwinTransformer3D (or a 2D LAVT checkpoint with
+    `from_2d=True` surgery) -> 3D backbone params subtree.
+
+    from_2d implements load_from_pretrained2d_lavt_weights[_into_a_3d_model]
+    (reference lib/_utils.py:133-238): patch-embed temporal unsqueeze,
+    rel-pos spatial resize + temporal tiling, and (drop_fusion) deleting
+    the 2D `.fusion` weights that have no 3D counterpart.
+    """
+    p = prefix
+    swin = cfg.swin
+    w3d = swin.window_size_3d
+    tree: dict = {}
+
+    pe_w = sd[f"{p}patch_embed.proj.weight"]
+    if from_2d:
+        pe_w = inflate_patch_embed_2d_to_3d(pe_w)
+    elif pe_w.ndim == 5 and pe_w.shape[2] != cfg.swin.patch_size_3d[0]:
+        pe_w = sum_patch_embed_temporal(pe_w)
+    _set(tree, ("patch_embed", "proj", "kernel"), _conv3d(pe_w))
+    _set(tree, ("patch_embed", "proj", "bias"),
+         sd[f"{p}patch_embed.proj.bias"])
+    if f"{p}patch_embed.norm.weight" in sd:
+        _set(tree, ("patch_embed", "norm", "scale"),
+             sd[f"{p}patch_embed.norm.weight"])
+        _set(tree, ("patch_embed", "norm", "bias"),
+             sd[f"{p}patch_embed.norm.bias"])
+
+    for i in range(swin.num_layers):
+        lp = f"{p}layers.{i}."
+        lt = f"layers_{i}"
+        for j in range(swin.depths[i]):
+            bp = f"{lp}blocks.{j}."
+            bt = f"blocks_{j}"
+            for norm in ("norm1", "norm2"):
+                _set(tree, (lt, bt, norm, "scale"), sd[f"{bp}{norm}.weight"])
+                _set(tree, (lt, bt, norm, "bias"), sd[f"{bp}{norm}.bias"])
+            table = sd[f"{bp}attn.relative_position_bias_table"]
+            if from_2d:
+                table = inflate_rel_pos_table_2d_to_3d(table, w3d)
+            _set(tree, (lt, bt, "attn", "relative_position_bias_table"),
+                 table)
+            _set(tree, (lt, bt, "attn", "qkv", "kernel"),
+                 _lin(sd[f"{bp}attn.qkv.weight"]))
+            if f"{bp}attn.qkv.bias" in sd:
+                _set(tree, (lt, bt, "attn", "qkv", "bias"),
+                     sd[f"{bp}attn.qkv.bias"])
+            _set(tree, (lt, bt, "attn", "proj", "kernel"),
+                 _lin(sd[f"{bp}attn.proj.weight"]))
+            _set(tree, (lt, bt, "attn", "proj", "bias"),
+                 sd[f"{bp}attn.proj.bias"])
+            for fc in ("fc1", "fc2"):
+                _set(tree, (lt, bt, "mlp", fc, "kernel"),
+                     _lin(sd[f"{bp}mlp.{fc}.weight"]))
+                _set(tree, (lt, bt, "mlp", fc, "bias"),
+                     sd[f"{bp}mlp.{fc}.bias"])
+
+        # SepTPWAM fusion weights (skipped when importing from 2D)
+        fp = f"{lp}fusion."
+        if not (from_2d and drop_fusion):
+            if f"{fp}temporal_vis_project.0.weight" in sd:
+                for src, dst in (
+                        ("temporal_vis_project.0", ("temporal_vis_project", "conv")),
+                        ("spatial_vis_project.0", ("spatial_vis_project", "conv")),
+                        ("f_query_t.0", ("f_query_t", "conv")),
+                        ("f_query_s.0", ("f_query_s", "conv")),
+                        ("W_t.0", ("W_t", "conv")),
+                        ("W_s.0", ("W_s", "conv")),
+                        ("project_mm_t.0", ("project_mm_t", "conv")),
+                        ("project_mm_s.0", ("project_mm_s", "conv"))):
+                    if f"{fp}{src}.weight" not in sd:
+                        continue
+                    _set(tree, (lt, "fusion") + dst + ("kernel",),
+                         _conv3d(sd[f"{fp}{src}.weight"]))
+                    _set(tree, (lt, "fusion") + dst + ("bias",),
+                         sd[f"{fp}{src}.bias"])
+                for src, dst in (("f_key.0", "f_key"),
+                                 ("f_value.0", "f_value"),
+                                 ("W.0", "W"), ("project_mm.0", "project_mm")):
+                    if f"{fp}{src}.weight" in sd:
+                        _set(tree, (lt, "fusion", dst, "kernel"),
+                             _lin(sd[f"{fp}{src}.weight"]))
+                        _set(tree, (lt, "fusion", dst, "bias"),
+                             sd[f"{fp}{src}.bias"])
+
+        if f"{lp}res_gate.0.weight" in sd:
+            _set(tree, (lt, "res_gate", "fc1", "kernel"),
+                 _lin(sd[f"{lp}res_gate.0.weight"]))
+            _set(tree, (lt, "res_gate", "fc2", "kernel"),
+                 _lin(sd[f"{lp}res_gate.2.weight"]))
+        if f"{lp}downsample.norm.weight" in sd:
+            _set(tree, (lt, "downsample", "norm", "scale"),
+                 sd[f"{lp}downsample.norm.weight"])
+            _set(tree, (lt, "downsample", "norm", "bias"),
+                 sd[f"{lp}downsample.norm.bias"])
+            _set(tree, (lt, "downsample", "reduction", "kernel"),
+                 _lin(sd[f"{lp}downsample.reduction.weight"]))
+
+    for i in cfg.out_indices:
+        if f"{p}norm{i}.weight" in sd:
+            _set(tree, (f"norm{i}", "scale"), sd[f"{p}norm{i}.weight"])
+            _set(tree, (f"norm{i}", "bias"), sd[f"{p}norm{i}.bias"])
+    return tree
+
+
+def convert_lavt_video(sd: FlatDict, cfg: ModelConfig,
+                       from_2d: bool = False) -> dict:
+    """Full lavt_video checkpoint (or a 2D lavt_one checkpoint with
+    from_2d=True surgery) -> variables for LAVTVideo."""
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    params["text_encoder"] = convert_bert(sd, cfg.bert.num_layers,
+                                          prefix="text_encoder.")
+    params["backbone"] = convert_mm_swin3d(sd, cfg, prefix="backbone.",
+                                           from_2d=from_2d,
+                                           drop_fusion=from_2d)
+    cls_params, cls_stats = convert_simple_decoding(sd, prefix="classifier.")
+    params["classifier"] = cls_params
+    return {"params": params, "batch_stats": {"classifier": cls_stats}}
+
+
+# ---------------------------------------------------------------------------
 # full models
 # ---------------------------------------------------------------------------
 

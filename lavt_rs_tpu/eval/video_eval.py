@@ -1,0 +1,79 @@
+"""Video evaluation loops.
+
+Behavioral contract:
+  * evaluate_a2d — reference train.py:332-395 / test.py:121-230: per clip,
+    forward the model, take the annotated frame's logits (valid_index),
+    IoU vs the single annotated mask; report mIoU/oIoU/P@K.
+  * evaluate_ytvos_train_split — local J&F on labeled data (the actual
+    competition split is server-scored; reference uploads PNGs).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..metrics import SegMetrics
+from ..metrics_video import JFMetrics
+
+
+def evaluate_a2d(model_apply: Callable, variables, ds,
+                 max_items: Optional[int] = None,
+                 out_stream=sys.stderr) -> dict:
+    """ds yields VideoExample with (T, H, W, 3) clips; the loss/metric is
+    computed on the annotated frame only (valid_index)."""
+    metrics = SegMetrics()
+
+    @jax.jit
+    def fwd(variables, video, ids, mask):
+        logits = model_apply(variables, video, ids, mask)  # (B*T, H, W, C)
+        return logits
+
+    n = len(ds) if max_items is None else min(len(ds), max_items)
+    for i in range(n):
+        ex = ds[i]
+        logits = fwd(variables, jnp.asarray(ex.video[None]),
+                     jnp.asarray(ex.ids[None].astype(np.int32)),
+                     jnp.asarray(ex.mask[None].astype(np.int32)))
+        frame_logits = np.asarray(logits)[ex.valid_index]  # (H, W, C)
+        pred = frame_logits.argmax(-1)
+        inter = np.logical_and(pred, ex.target).sum()
+        union = np.logical_or(pred, ex.target).sum()
+        metrics.update(np.asarray([inter]), np.asarray([union]))
+
+    summary = metrics.summary()
+    prec = " ".join(f"P@{t}={summary[f'P@{t}']:.2f}"
+                    for t in (0.5, 0.6, 0.7, 0.8, 0.9))
+    print(f"A2D: mIoU={summary['mIoU']:.2f} oIoU={summary['oIoU']:.2f} "
+          f"{prec} (n={metrics.n})", file=out_stream)
+    return summary
+
+
+def evaluate_ytvos_jf(model_apply: Callable, variables, ds,
+                      max_items: Optional[int] = None,
+                      out_stream=sys.stderr) -> dict:
+    """Local J&F over a labeled YTVOS-style dataset (all clip frames that
+    have ground truth; here the annotated frame per meta)."""
+    jf = JFMetrics()
+
+    @jax.jit
+    def fwd(variables, video, ids, mask):
+        return model_apply(variables, video, ids, mask)
+
+    n = len(ds) if max_items is None else min(len(ds), max_items)
+    for i in range(n):
+        ex = ds[i]
+        logits = fwd(variables, jnp.asarray(ex.video[None]),
+                     jnp.asarray(ex.ids[None].astype(np.int32)),
+                     jnp.asarray(ex.mask[None].astype(np.int32)))
+        pred = np.asarray(logits)[ex.valid_index].argmax(-1)
+        jf.update(pred.astype(np.uint8), ex.target.astype(np.uint8))
+
+    summary = jf.summary()
+    print(f"YTVOS(train-split) J={summary['J']:.2f} F={summary['F']:.2f} "
+          f"J&F={summary['J&F']:.2f}", file=out_stream)
+    return summary

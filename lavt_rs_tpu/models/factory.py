@@ -13,7 +13,7 @@ from typing import Callable, Dict
 import flax.linen as nn
 
 from ..config import ModelConfig, SwinConfig
-from .lavt import LAVT, LAVTOne, LAVTVideo
+from .lavt import LAVT, LAVTOne, LAVTVideo, LTS, VLT
 
 
 def build_model(cfg: ModelConfig, train: bool = False) -> nn.Module:
@@ -23,6 +23,12 @@ def build_model(cfg: ModelConfig, train: bool = False) -> nn.Module:
         return LAVT(cfg, train_mode=train)
     if cfg.name == "lavt_video":
         return LAVTVideo(cfg, train_mode=train)
+    if cfg.name == "lts":
+        return LTS(cfg, train_mode=train)
+    if cfg.name == "vlt":
+        return VLT(cfg, train_mode=train)
+    if cfg.name == "lavt_vlt":
+        return VLT(cfg, train_mode=train, fused_backbone=True)
     raise NotImplementedError(f"model {cfg.name!r} not implemented yet")
 
 
@@ -43,7 +49,6 @@ def make_config(name: str, swin_type: str = "base", window12: bool = True,
 
 
 MODELS: Dict[str, Callable[..., ModelConfig]] = {
-    "lavt": lambda **kw: make_config("lavt", **kw),
-    "lavt_one": lambda **kw: make_config("lavt_one", **kw),
-    "lavt_video": lambda **kw: make_config("lavt_video", **kw),
+    name: (lambda name=name: lambda **kw: make_config(name, **kw))()
+    for name in ("lavt", "lavt_one", "lavt_video", "lts", "vlt", "lavt_vlt")
 }

@@ -98,6 +98,77 @@ class LAVT(nn.Module):
         return logits
 
 
+class LTS(nn.Module):
+    """lts: plain Swin backbone (out_indices 1,2,3) + LTSDecoding
+    (reference lib/_utils.py:248-273, lib/segmentation.py:229-293)."""
+
+    cfg: ModelConfig
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image, text_ids, l_mask, *, deterministic: bool = True):
+        from .lts import LTSDecoding
+        from .swin2d import SwinTransformer
+
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        in_hw = image.shape[1:3]
+        l_feats = BertEncoder(cfg.bert, dtype=dt, name="text_encoder")(
+            text_ids, l_mask, deterministic=deterministic)
+        x_c2, x_c3, x_c4 = SwinTransformer(
+            cfg=cfg.swin, out_indices=(1, 2, 3),
+            use_checkpoint=cfg.use_checkpoint, use_pallas=cfg.use_pallas,
+            dtype=dt, name="backbone")(image.astype(dt),
+                                       deterministic=deterministic)
+        logits = LTSDecoding(
+            c4_dims=8 * cfg.swin.embed_dim, num_classes=cfg.num_classes,
+            train=self.train_mode, dtype=dt, name="classifier")(
+                x_c4, x_c3, x_c2, l_feats, l_mask,
+                deterministic=deterministic)
+        return resize_2d(logits.astype(jnp.float32), in_hw,
+                         method="bilinear", align_corners=True)
+
+
+class VLT(nn.Module):
+    """vlt: plain Swin backbone + VLTFuseAndClassify
+    (reference lib/_utils.py:278-305)."""
+
+    cfg: ModelConfig
+    train_mode: bool = False
+    fused_backbone: bool = False  # lavt_vlt: multimodal backbone + VLT head
+
+    @nn.compact
+    def __call__(self, image, text_ids, l_mask, *, deterministic: bool = True):
+        from .swin2d import SwinTransformer
+        from .vlt import VLTFuseAndClassify
+
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        in_hw = image.shape[1:3]
+        l_feats = BertEncoder(cfg.bert, dtype=dt, name="text_encoder")(
+            text_ids, l_mask, deterministic=deterministic)
+        if self.fused_backbone:
+            x_c2, x_c3, x_c4 = MultiModalSwinTransformer(
+                cfg=cfg.swin, fusion=cfg.fusion, out_indices=(1, 2, 3),
+                use_checkpoint=cfg.use_checkpoint, use_pallas=cfg.use_pallas,
+                dtype=dt, name="backbone")(
+                    image.astype(dt), l_feats, l_mask,
+                    deterministic=deterministic)
+        else:
+            x_c2, x_c3, x_c4 = SwinTransformer(
+                cfg=cfg.swin, out_indices=(1, 2, 3),
+                use_checkpoint=cfg.use_checkpoint, use_pallas=cfg.use_pallas,
+                dtype=dt, name="backbone")(image.astype(dt),
+                                           deterministic=deterministic)
+        logits = VLTFuseAndClassify(
+            img_size=cfg.img_size, num_queries=16,
+            train=self.train_mode, dtype=dt, name="classifier")(
+                x_c4, x_c3, x_c2, l_feats, l_mask,
+                deterministic=deterministic)
+        return resize_2d(logits.astype(jnp.float32), in_hw,
+                         method="bilinear", align_corners=True)
+
+
 class LAVTVideo(nn.Module):
     """lavt_video: Video Swin 3D backbone + per-frame SimpleDecoding.
 
@@ -121,7 +192,8 @@ class LAVTVideo(nn.Module):
 
         feats = MultiModalSwinTransformer3D(
             cfg=cfg.swin, fusion=cfg.fusion, tpwam=cfg.tpwam,
-            out_indices=cfg.out_indices, use_checkpoint=cfg.use_checkpoint,
+            out_indices=cfg.out_indices, hybrid_2d=cfg.hybrid_2d_3d,
+            use_checkpoint=cfg.use_checkpoint,
             use_pallas=cfg.use_pallas, dtype=dt, name="backbone")(
                 video.astype(dt), l_feats, l_mask,
                 deterministic=deterministic)

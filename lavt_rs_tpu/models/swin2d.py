@@ -269,6 +269,22 @@ class MMBasicLayer(nn.Module):
                       attention=self.fusion.kind == FusionKind.PWAM,
                       att_norm=self.fusion.att_norm, dtype=self.dtype,
                       name="fusion")(x, l, l_mask, deterministic=deterministic)
+        elif self.fusion.kind == FusionKind.BCAM:
+            from .fusion_baselines import BCAM
+
+            mm = BCAM(dim=self.dim, hw=h * w, dtype=self.dtype,
+                      name="fusion")(x, l, l_mask,
+                                     deterministic=deterministic)
+        elif self.fusion.kind == FusionKind.GACD:
+            from .fusion_baselines import GACD
+
+            mm = GACD(dim=self.dim, dtype=self.dtype, name="fusion")(
+                x, l, l_mask, deterministic=deterministic)
+        elif self.fusion.kind == FusionKind.EFN:
+            from .fusion_baselines import EFN
+
+            mm = EFN(dim=self.dim, dtype=self.dtype, name="fusion")(
+                x, l, l_mask, deterministic=deterministic)
         else:
             raise NotImplementedError(
                 f"fusion kind {self.fusion.kind} not yet implemented")
@@ -293,6 +309,94 @@ class MMBasicLayer(nn.Module):
             down_hw = ((h + 1) // 2, (w + 1) // 2)
             return x_out, x_down, down_hw
         return x_out, x, hw
+
+
+class BasicLayer(nn.Module):
+    """Plain (language-free) Swin stage for the LTS/VLT baselines
+    (reference lib/backbone.py:1409-1554)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    attn_drop: float
+    drop_path_rates: Tuple[float, ...]
+    has_downsample: bool
+    use_checkpoint: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw, *, deterministic: bool = True):
+        h, w = hw
+        block_cls = SwinBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path_rate=self.drop_path_rates[i],
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"blocks_{i}")(x, hw, deterministic)
+        x_out = x
+        if self.has_downsample:
+            x = PatchMerging(dim=self.dim, dtype=self.dtype,
+                             name="downsample")(x, hw)
+            return x_out, x, ((h + 1) // 2, (w + 1) // 2)
+        return x_out, x, hw
+
+
+class SwinTransformer(nn.Module):
+    """Plain 4-stage Swin backbone (reference lib/backbone.py:1557-1693)."""
+
+    cfg: SwinConfig
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    use_checkpoint: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        x = PatchEmbed(embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
+                       patch_norm=cfg.patch_norm, dtype=self.dtype,
+                       name="patch_embed")(x)
+        b, wh, ww, c = x.shape
+        x = x.reshape(b, wh * ww, c)
+        x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
+
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+        outs = []
+        hw = (wh, ww)
+        for i in range(cfg.num_layers):
+            start = sum(cfg.depths[:i])
+            x_out, x, next_hw = BasicLayer(
+                dim=cfg.num_features[i], depth=cfg.depths[i],
+                num_heads=cfg.num_heads[i], window_size=cfg.window_size,
+                mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_path_rates=tuple(dpr[start:start + cfg.depths[i]]),
+                has_downsample=i < cfg.num_layers - 1,
+                use_checkpoint=self.use_checkpoint,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"layers_{i}")(x, hw, deterministic=deterministic)
+            if i in self.out_indices:
+                x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f"norm{i}")(x_out)
+                outs.append(x_out.reshape(b, hw[0], hw[1],
+                                          cfg.num_features[i]))
+            hw = next_hw
+        return tuple(outs)
 
 
 class MultiModalSwinTransformer(nn.Module):

@@ -263,6 +263,73 @@ class MMBasicLayer3D(nn.Module):
         return x_out, x
 
 
+class Hybrid2D3DLayer(nn.Module):
+    """2D Swin blocks per frame + 3D PWAM fusion across frames.
+
+    Behavioral contract: reference lib/backbone.py:708-992
+    (MMBasicLayer_2d_swin_3d_pwam, the --ytvos_2d_swin_3d_pwam path):
+    spatial windowed attention runs on (B*T, HW, C) folded frames; the
+    SepTPWAM fusion and LG gate see the full (B, T, H, W, C) clip.
+    """
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int  # 2D window
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    drop: float
+    drop_path_rates: Tuple[float, ...]
+    has_downsample: bool
+    fusion: FusionConfig
+    fusion_heads: int
+    tpwam: TPWAMConfig
+    use_checkpoint: bool = False
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        from .swin2d import SwinBlock
+
+        b, d, h, w, c = x.shape
+        flat = x.reshape(b * d, h * w, c)
+        block_cls = SwinBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
+        for i in range(self.depth):
+            flat = block_cls(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                drop_path_rate=self.drop_path_rates[i],
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"blocks_{i}")(flat, (h, w), deterministic)
+
+        x = flat.reshape(b, d, h, w, c)
+        mm = build_tpwam(self.tpwam, self.dim, self.fusion_heads,
+                         self.fusion.dropout, self.dtype,
+                         name="fusion")(x, l, l_mask,
+                                        deterministic=deterministic)
+        tokens = x.reshape(b, d * h * w, c)
+        if self.fusion.gate == GateKind.DEFAULT:
+            gate_out = LanguageGate(dim=self.dim, act=self.fusion.lg_act,
+                                    dtype=self.dtype, name="res_gate")(mm)
+            tokens = tokens + gate_out * mm
+        elif self.fusion.gate == GateKind.NO_GATE:
+            tokens = tokens + mm
+
+        x_out = mm.reshape(b, d, h, w, c)
+        x = tokens.reshape(b, d, h, w, c)
+        if self.has_downsample:
+            x = PatchMerging3D(dim=self.dim, dtype=self.dtype,
+                               name="downsample")(x)
+        return x_out, x
+
+
 class MultiModalSwinTransformer3D(nn.Module):
     """4-stage multimodal video backbone.
 
@@ -274,6 +341,7 @@ class MultiModalSwinTransformer3D(nn.Module):
     fusion: FusionConfig
     tpwam: TPWAMConfig
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    hybrid_2d: bool = False  # --ytvos_2d_swin_3d_pwam
     use_checkpoint: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -293,19 +361,25 @@ class MultiModalSwinTransformer3D(nn.Module):
         outs = []
         for i in range(cfg.num_layers):
             start = sum(cfg.depths[:i])
-            layer = MMBasicLayer3D(
+            common = dict(
                 dim=cfg.num_features[i], depth=cfg.depths[i],
-                num_heads=cfg.num_heads[i], window_size=cfg.window_size_3d,
+                num_heads=cfg.num_heads[i],
                 mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                 qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
                 drop_path_rates=tuple(dpr[start:start + cfg.depths[i]]),
                 has_downsample=i < cfg.num_layers - 1,
                 fusion=self.fusion, fusion_heads=self.fusion.num_heads[i],
                 tpwam=self.tpwam,
-                is_last_layer=i == cfg.num_layers - 1,
                 use_checkpoint=self.use_checkpoint,
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layers_{i}")
+            if self.hybrid_2d:
+                layer = Hybrid2D3DLayer(window_size=cfg.window_size,
+                                        **common)
+            else:
+                layer = MMBasicLayer3D(window_size=cfg.window_size_3d,
+                                       is_last_layer=i == cfg.num_layers - 1,
+                                       **common)
             x_out, x = layer(x, l, l_mask, deterministic=deterministic)
             if i in self.out_indices:
                 x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

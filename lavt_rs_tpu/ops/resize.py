@@ -103,9 +103,18 @@ def resize_2d(x: jnp.ndarray, out_hw, method: str = "bilinear",
     aw = jnp.asarray(mat(out_w, in_w, align_corners))
     dt = x.dtype
     # Full f32 on the MXU: resize feeds mask logits/eval, keep it exact.
+    # Layout note: C is often tiny (2 class logits), so keep the big W*C /
+    # W axes in the lane dimension instead of C — fold (W, C) for the
+    # H-pass and transpose C ahead of W for the W-pass.
     hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,...hwc->...owc", ah, x.astype(jnp.float32), precision=hp)
-    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=hp)
+    lead = x.shape[:-3]
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(lead + (in_h, in_w * c))
+    y = jnp.einsum("...hm,oh->...om", xf, ah, precision=hp)
+    y = y.reshape(lead + (out_h, in_w, c))
+    y = jnp.swapaxes(y, -1, -2)  # (..., out_h, c, in_w)
+    y = jnp.einsum("...cw,pw->...cp", y, aw, precision=hp)
+    y = jnp.swapaxes(y, -1, -2)  # (..., out_h, out_w, c)
     return y.astype(dt)
 
 

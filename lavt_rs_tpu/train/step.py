@@ -93,6 +93,50 @@ def _current_lr(step, tcfg: TrainConfig):
     return tcfg.lr * jnp.maximum(frac, 0.0) ** tcfg.poly_power
 
 
+def make_video_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
+    """Video train step: the loss is computed on the annotated frame only
+    (the reference index-selects valid frames before the loss,
+    train.py:280-285).
+
+    batch: {'video': (B,T,H,W,3), 'ids', 'mask', 'target': (B,H,W),
+            'valid_index': (B,) int — annotated frame position in clip}
+    """
+    loss_fn = get_loss(tcfg.loss)
+
+    def compute_loss(params, batch_stats, batch, rng):
+        out, mutated = model_train.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["video"], batch["ids"], batch["mask"],
+            deterministic=False, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        b, t = batch["video"].shape[:2]
+        out = out.reshape(b, t, *out.shape[1:])
+        frame = jnp.take_along_axis(
+            out, batch["valid_index"][:, None, None, None, None], axis=1
+        )[:, 0]
+        loss = loss_fn(frame, batch["target"])
+        return loss, (mutated["batch_stats"], frame)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_stats, frame)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        inter, union = batch_iou(frame, batch["target"])
+        metrics = {
+            "loss": loss,
+            "iou": jnp.mean(jnp.where(union > 0,
+                                      inter / jnp.maximum(union, 1.0), 0.0)),
+            "lr": _current_lr(state.step, tcfg),
+        }
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return step
+
+
 def make_eval_step(model_eval) -> Callable:
     """Returns eval_step(variables, batch) -> (logits, inter, union)."""
 

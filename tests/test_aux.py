@@ -1,0 +1,105 @@
+"""Auxiliary subsystems: logging meters, J&F metrics, visualization,
+pseudo-video augmentation, checkpoint retention."""
+
+import numpy as np
+import pytest
+
+from lavt_rs_tpu.metrics_video import JFMetrics, f_measure, j_measure
+from lavt_rs_tpu.utils.logging import MetricLogger, SmoothedValue
+from lavt_rs_tpu.utils.visualize import colormap, vis_add_mask
+from lavt_rs_tpu.data.pseudo_video import ConcatDataset, ImageToSeqAugmenter
+
+
+def test_smoothed_value():
+    v = SmoothedValue(window_size=3)
+    for x in (1, 2, 3, 4):
+        v.update(x)
+    assert v.value == 4 and v.max == 4
+    assert v.avg == 3.0  # window of (2, 3, 4)
+    assert v.global_avg == 2.5
+    assert v.median == 3
+
+
+def test_metric_logger_iterates():
+    log = MetricLogger()
+    seen = []
+    for x in log.log_every(range(5), print_freq=2, header="t"):
+        log.update(loss=float(x))
+        seen.append(x)
+    assert seen == list(range(5))
+    assert log.meters["loss"].count == 5
+
+
+def test_jf_perfect_and_disjoint():
+    a = np.zeros((20, 20), np.uint8)
+    a[5:15, 5:15] = 1
+    assert j_measure(a, a) == 1.0
+    assert f_measure(a, a) == 1.0
+    b = np.zeros_like(a)
+    b[0:3, 0:3] = 1
+    assert j_measure(a, b) == 0.0
+    assert f_measure(a, b) == 0.0
+    m = JFMetrics()
+    m.update(a, a)
+    s = m.summary()
+    assert s["J&F"] == 100.0
+
+
+def test_jf_near_boundary_tolerance():
+    a = np.zeros((50, 50), np.uint8)
+    a[10:30, 10:30] = 1
+    b = np.roll(a, 1, axis=0)  # 1px shift is within the DAVIS tolerance
+    assert f_measure(a, b) == 1.0
+    assert 0.8 < j_measure(a, b) < 1.0
+
+
+def test_vis_add_mask():
+    img = np.zeros((8, 8, 3), np.uint8)
+    m = np.zeros((8, 8), np.uint8)
+    m[:4] = 1
+    out = vis_add_mask(img, m, 0)
+    assert out.shape == (8, 8, 3)
+    assert (out[:4] != 0).any() and (out[4:] == 0).all()
+    assert colormap().shape[1] == 3
+
+
+def test_image_to_seq_augmenter():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 50, 3), np.uint8)
+    mask = np.zeros((40, 50), np.uint8)
+    mask[10:30, 15:35] = 1
+    aug = ImageToSeqAugmenter(seed=1)
+    img2, mask2 = aug(img, mask)
+    assert img2.shape == img.shape and mask2.shape == mask.shape
+    # mask mostly preserved under small jitter
+    inter = np.logical_and(mask, mask2).sum()
+    assert inter > 0.5 * mask.sum()
+
+
+def test_concat_dataset():
+    a = [1, 2, 3]
+    b = [10, 20]
+    c = ConcatDataset([a, b])
+    assert len(c) == 5
+    assert [c[i] for i in range(5)] == [1, 2, 3, 10, 20]
+
+
+def test_checkpoint_save_restore_prune(tmp_path):
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.train.checkpoint import (
+        latest_checkpoint, list_checkpoints, restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(3)}
+    for ep in range(4):
+        save_checkpoint(str(tmp_path), ep, state, extra={"lr": 0.1}, keep=2)
+    ckpts = list_checkpoints(str(tmp_path))
+    assert [e for e, _ in ckpts] == [2, 3]  # pruned to last 2
+    path = latest_checkpoint(str(tmp_path))
+    restored, extra, epoch = restore_checkpoint(
+        path, {"w": jnp.zeros(4), "step": jnp.asarray(0)})
+    assert epoch == 3
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0))

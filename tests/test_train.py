@@ -79,7 +79,7 @@ def test_train_step_descends_and_freezes(train_setup):
     assert np.abs(trained_after - trained_ref).max() > 0
 
     # batch stats actually update (BN in decoder)
-    assert int(state.step) == 4
+    assert int(state.step) == 6
 
 
 def test_poly_lr_schedule():
@@ -110,8 +110,11 @@ def test_data_parallel_matches_single_device(train_setup):
     s8, m8 = jax.jit(step)(state8, batch8, key)
 
     assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # Adam updates on near-zero grads are sign-sensitive to reduction
+    # order, so compare with an absolute tolerance well below the LR
+    # (1e-3) but above reduction noise.
     p1 = jax.tree.leaves(s1.params)
     p8 = jax.tree.leaves(s8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=0, atol=3e-4)

@@ -1,0 +1,135 @@
+"""Video datasets on synthetic fixtures: A2D (mp4 + h5) and YTVOS
+(jpg/png dirs + meta_expressions)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lavt_rs_tpu.data.video_sampling import consecutive_window, sparse_sample
+from lavt_rs_tpu.text.tokenizer import WordPieceTokenizer
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "dog", "running",
+         "a", "cat"]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer({w: i for i, w in enumerate(VOCAB)})
+
+
+def test_sparse_sample_properties():
+    import random
+
+    rng = random.Random(0)
+    for vid_len in (4, 8, 30):
+        idx, pos = sparse_sample(2, vid_len, 8, rng)
+        assert len(idx) == 8
+        assert idx == sorted(idx)
+        assert idx[pos] == 2
+        assert all(0 <= i < vid_len for i in idx)
+
+
+def test_consecutive_window_edge_padding():
+    idx, pos = consecutive_window(1, 30, 8)
+    assert len(idx) == 8
+    assert idx[pos] == 1
+    assert idx[0] == 0  # edge-clamped
+    idx2, _ = consecutive_window(29, 30, 8)
+    assert idx2[-1] == 29
+
+
+@pytest.fixture(scope="module")
+def a2d_fixture(tmp_path_factory):
+    import cv2
+    import h5py
+
+    root = tmp_path_factory.mktemp("a2d")
+    clips = root / "Release" / "clips320H"
+    anns = root / "Release" / "a2d_annotation_with_instances" / "vid1"
+    clips.mkdir(parents=True)
+    anns.mkdir(parents=True)
+
+    # 10-frame synthetic mp4
+    w = cv2.VideoWriter(str(clips / "vid1.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        w.write(rng.integers(0, 255, (24, 32, 3), np.uint8))
+    w.release()
+
+    # h5 mask for (1-indexed) frame 5 with 2 instances
+    m = np.zeros((2, 32, 24), np.uint8)  # stored transposed
+    m[1, 5:15, 5:15] = 1
+    with h5py.File(anns / "00005.h5", "w") as f:
+        f["instance"] = np.array([0, 7])
+        f["reMask"] = m
+
+    ann_file = root / "train_ann.json"
+    with open(ann_file, "w") as f:
+        json.dump([["the dog running", "vid1", 5, 7]], f)
+    return str(root), str(ann_file)
+
+
+def test_a2d_dataset(a2d_fixture, tok):
+    from lavt_rs_tpu.data.a2d import A2DSentencesDataset
+
+    root, ann = a2d_fixture
+    ds = A2DSentencesDataset(root, ann, tok, subset="train", num_frames=4,
+                             img_size=32)
+    assert len(ds) == 1
+    ex = ds[0]
+    assert ex.video.shape == (4, 32, 32, 3)
+    assert ex.target.shape == (32, 32)
+    assert ex.target.sum() > 0
+    assert ex.valid == 1
+    assert 0 <= ex.valid_index < 4
+    assert ex.ids.shape == (22,)
+    assert ex.image_id == "v_vid1_f_5_i_7"
+
+    ds_val = A2DSentencesDataset(root, ann, tok, subset="val",
+                                 clip_length=6, img_size=32)
+    ex = ds_val[0]
+    assert ex.video.shape == (6, 32, 32, 3)
+
+
+@pytest.fixture(scope="module")
+def ytvos_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytvos")
+    frames = [f"{i:05d}" for i in range(0, 20, 5)]
+    jdir = root / "JPEGImages" / "vidA"
+    adir = root / "Annotations" / "vidA"
+    jdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for fr in frames:
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), np.uint8)
+                        ).save(jdir / f"{fr}.jpg")
+        m = np.zeros((24, 32), np.uint8)
+        m[4:12, 6:20] = 2  # obj_id 2
+        img = Image.fromarray(m, mode="P")
+        # full palette so PIL's PNG writer can't re-index the values
+        img.putpalette(sum(([i, i, i] for i in range(256)), []))
+        img.save(adir / f"{fr}.png", bits=8)
+
+    meta = {"videos": {"vidA": {
+        "frames": frames,
+        "expressions": {"0": {"exp": "a cat", "obj_id": "2"}}}}}
+    ann = root / "meta.json"
+    with open(ann, "w") as f:
+        json.dump(meta, f)
+    return str(root), str(ann)
+
+
+def test_ytvos_dataset(ytvos_fixture, tok):
+    from lavt_rs_tpu.data.ytvos import YTVOSDataset
+
+    root, ann = ytvos_fixture
+    ds = YTVOSDataset(root, ann, tok, num_frames=4, img_size=32)
+    assert len(ds) == 1  # 4 frames / num_frames 4 -> 1 meta
+    ex = ds[0]
+    assert ex.video.shape == (4, 32, 32, 3)
+    assert ex.target.sum() > 0
+    assert ex.ids[0] == tok.cls_id
