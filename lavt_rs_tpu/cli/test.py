@@ -30,6 +30,9 @@ def get_parser():
                    help="orbax dir (ours) or torch .pth (converted)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--max_items", type=int, default=0)
+    p.add_argument("--save_vis", default="",
+                   help="directory for mask-overlay PNG dumps (the "
+                        "reference's --a2d_masks / visualization path)")
     p.add_argument("--synthetic", action="store_true")
     return p
 
@@ -128,6 +131,34 @@ def main(argv=None):
     summary = evaluate(lambda v, *a: model.apply(v, *a), variables, ds,
                        max_items=args.max_items or None)
     print(summary)
+
+    if args.save_vis:
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from ..utils.visualize import vis_add_mask
+
+        os.makedirs(args.save_vis, exist_ok=True)
+        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+        n = min(len(ds), args.max_items or 16, 16)
+        for i in range(n):
+            ex = ds[i]
+            ids = ex.ids if ex.ids.ndim == 2 else ex.ids[None]
+            msk = ex.mask if ex.mask.ndim == 2 else ex.mask[None]
+            logits = fwd(variables, jnp.asarray(ex.image[None]),
+                         jnp.asarray(ids[:1].astype(np.int32)),
+                         jnp.asarray(msk[:1].astype(np.int32)))
+            pred = np.asarray(logits)[0].argmax(-1).astype(np.uint8)
+            img = ((ex.image * IMAGENET_STD + IMAGENET_MEAN) * 255
+                   ).clip(0, 255).astype(np.uint8)
+            Image.fromarray(vis_add_mask(img, pred, 0)).save(
+                os.path.join(args.save_vis, f"{i:05d}_pred.png"))
+            Image.fromarray(vis_add_mask(img, ex.target > 0, 1)).save(
+                os.path.join(args.save_vis, f"{i:05d}_gt.png"))
+        print(f"saved overlays to {args.save_vis}", file=sys.stderr)
 
 
 if __name__ == "__main__":

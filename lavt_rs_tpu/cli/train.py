@@ -27,7 +27,8 @@ def get_parser():
     p.add_argument("--model", default="lavt_one",
                    choices=["lavt", "lavt_one", "lavt_video"])
     p.add_argument("--dataset", default="refcoco",
-                   choices=["refcoco", "refcoco+", "refcocog"])
+                   choices=["refcoco", "refcoco+", "refcocog", "a2d",
+                            "ytvos", "ref_pseudo_video"])
     p.add_argument("--splitBy", default="unc")
     p.add_argument("--split", default="train")
     p.add_argument("--val_split", default="val")
@@ -52,6 +53,12 @@ def get_parser():
     p.add_argument("--use_checkpoint", action="store_true",
                    help="remat Swin blocks")
     p.add_argument("--refer_data_root", default="./refer/data")
+    p.add_argument("--a2d_root", default="./data/a2d_sentences")
+    p.add_argument("--a2d_ann", default="./data/a2d_train_annotations.json")
+    p.add_argument("--ytvos_root", default="./data/ref-youtube-vos/train")
+    p.add_argument("--ytvos_ann", default="./data/meta_expressions.json")
+    p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--clip_length", type=int, default=16)
     p.add_argument("--vocab", default="./vocab.txt")
     p.add_argument("--pretrained", default="",
                    help="torch .pth to convert and load (Swin/LAVT ckpt)")
@@ -61,6 +68,10 @@ def get_parser():
                    help="keep only last N checkpoints (0 = all)")
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--combined_pretrain", action="store_true",
+                   help="train on refcoco+refcoco+ +refcocog combined "
+                        "(max_tokens 22, reference "
+                        "--ref_image_combined_pretrain)")
     p.add_argument("--synthetic", action="store_true",
                    help="random data smoke run (no dataset needed)")
     p.add_argument("--synthetic_steps", type=int, default=4)
@@ -78,12 +89,9 @@ def build_cfg(args):
         dtype="bfloat16" if args.bf16 else "float32")
 
 
-def synthetic_batches(args, steps, rng):
+def synthetic_batches(args, steps, rng, video: bool = False):
     for _ in range(steps):
-        yield {
-            "image": rng.standard_normal(
-                (args.batch_size, args.img_size, args.img_size, 3)
-            ).astype(np.float32),
+        batch = {
             "ids": rng.integers(
                 0, 30000, (args.batch_size, args.max_tokens)
             ).astype(np.int32),
@@ -92,6 +100,17 @@ def synthetic_batches(args, steps, rng):
                 0, 2, (args.batch_size, args.img_size, args.img_size)
             ).astype(np.int32),
         }
+        if video:
+            batch["video"] = rng.standard_normal(
+                (args.batch_size, args.num_frames, args.img_size,
+                 args.img_size, 3)).astype(np.float32)
+            batch["valid_index"] = rng.integers(
+                0, args.num_frames, (args.batch_size,)).astype(np.int32)
+        else:
+            batch["image"] = rng.standard_normal(
+                (args.batch_size, args.img_size, args.img_size, 3)
+            ).astype(np.float32)
+        yield batch
 
 
 def main(argv=None):
@@ -110,12 +129,58 @@ def main(argv=None):
     model = build_model(cfg, train=True)
     rng = np.random.default_rng(args.seed)
 
+    video = cfg.name == "lavt_video"
+
     # data
     if args.synthetic:
         iters_per_epoch = args.synthetic_steps
 
         def epoch_batches(epoch):
-            return synthetic_batches(args, args.synthetic_steps, rng)
+            return synthetic_batches(args, args.synthetic_steps, rng,
+                                     video=video)
+    elif video:
+        from ..text.tokenizer import WordPieceTokenizer
+
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        if args.dataset == "a2d":
+            from ..data.a2d import A2DSentencesDataset
+
+            train_ds = A2DSentencesDataset(
+                args.a2d_root, args.a2d_ann, tok, subset="train",
+                num_frames=args.num_frames, clip_length=args.clip_length,
+                img_size=args.img_size, max_tokens=args.max_tokens)
+        elif args.dataset == "ytvos":
+            from ..data.ytvos import YTVOSDataset
+
+            train_ds = YTVOSDataset(
+                args.ytvos_root, args.ytvos_ann, tok,
+                num_frames=args.num_frames, img_size=args.img_size,
+                max_tokens=args.max_tokens)
+        else:  # ref_pseudo_video: RefCOCO images as static clips
+            from ..data.pseudo_video import ImageToSeqAugmenter, ReferPseudoVideos
+            from ..data.refer import REFER
+
+            refer = REFER(args.refer_data_root, "refcoco", args.splitBy)
+            train_ds = ReferPseudoVideos(
+                refer, tok, split=args.split, num_frames=args.num_frames,
+                img_size=args.img_size, max_tokens=args.max_tokens,
+                augmenter=ImageToSeqAugmenter(seed=args.seed))
+        iters_per_epoch = len(train_ds) // args.batch_size
+
+        def epoch_batches(epoch):
+            order = np.random.default_rng(args.seed + epoch).permutation(
+                len(train_ds))
+            bsz = args.batch_size
+            for s in range(0, len(order) - bsz + 1, bsz):
+                items = [train_ds[int(i)] for i in order[s:s + bsz]]
+                yield {
+                    "video": np.stack([it.video for it in items]),
+                    "target": np.stack([it.target for it in items]),
+                    "ids": np.stack([it.ids for it in items]).astype(np.int32),
+                    "mask": np.stack([it.mask for it in items]).astype(np.int32),
+                    "valid_index": np.asarray(
+                        [it.valid_index for it in items], np.int32),
+                }
     else:
         from ..data.refer import REFER
         from ..data.refcoco import ReferDataset, batch_iterator
@@ -123,9 +188,26 @@ def main(argv=None):
 
         refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
         tok = WordPieceTokenizer.from_vocab_file(args.vocab)
-        train_ds = ReferDataset(refer, tok, split=args.split,
-                                img_size=args.img_size,
-                                max_tokens=args.max_tokens)
+        if args.combined_pretrain:
+            # reference: the 3 RefCOCO-family datasets concatenated, 22
+            # tokens (data/dataset_refer_bert.py:39-42)
+            from ..data.pseudo_video import ConcatDataset
+
+            parts = []
+            for name, sb in (("refcoco", "unc"), ("refcoco+", "unc"),
+                             ("refcocog", "umd")):
+                r = REFER(args.refer_data_root, name, sb)
+                parts.append(ReferDataset(r, tok, split=args.split,
+                                          img_size=args.img_size,
+                                          max_tokens=22))
+            train_ds = ConcatDataset(parts)
+        else:
+            train_ds = ReferDataset(refer, tok, split=args.split,
+                                    img_size=args.img_size,
+                                    max_tokens=args.max_tokens)
+        val_ds = ReferDataset(refer, tok, split=args.val_split,
+                              img_size=args.img_size,
+                              max_tokens=args.max_tokens, eval_mode=True)
         iters_per_epoch = len(train_ds) // args.batch_size
 
         def epoch_batches(epoch):
@@ -140,8 +222,9 @@ def main(argv=None):
 
     # init
     b0 = {k: v[:1] for k, v in next(iter(epoch_batches(0))).items()}
+    vis0 = b0["video"] if video else b0["image"]
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(args.seed), jnp.asarray(b0["image"]),
+        jax.random.PRNGKey(args.seed), jnp.asarray(vis0),
         jnp.asarray(b0["ids"]), jnp.asarray(b0["mask"]))
 
     if args.pretrained:
@@ -162,7 +245,14 @@ def main(argv=None):
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    step_fn = jax.jit(make_train_step(model, tx, tcfg), donate_argnums=(0,))
+    if video:
+        from ..train.step import make_video_train_step
+
+        step_fn = jax.jit(make_video_train_step(model, tx, tcfg),
+                          donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(make_train_step(model, tx, tcfg),
+                          donate_argnums=(0,))
     key = jax.random.PRNGKey(args.seed + 1)
 
     for epoch in range(start_epoch, args.epochs):
@@ -180,9 +270,27 @@ def main(argv=None):
                       f"lr={float(metrics['lr']):.2e}", file=sys.stderr)
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s",
               file=sys.stderr)
+
+        # validation every epoch, like the reference (train.py:743); the
+        # checkpoint is named with its metrics (train.py:761-762).
+        tag = ""
+        if (not args.synthetic and not video
+                and (epoch + 1) % max(args.eval_every, 1) == 0):
+            from ..eval.refcoco_eval import evaluate
+            from ..models.factory import build_model as _bm
+
+            eval_model = _bm(cfg, train=False)
+            eval_vars = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            summary = evaluate(
+                lambda v, *a: eval_model.apply(v, *a), eval_vars, val_ds,
+                log_every=0)
+            tag = (f"mIoU_{summary['mIoU']:.2f}"
+                   f"_oIoU_{summary['oIoU']:.2f}")
+
         if args.output_dir:
             save_checkpoint(args.output_dir, epoch, state,
-                            extra={"args": vars(args)},
+                            extra={"args": vars(args)}, metrics_tag=tag,
                             keep=args.keep_checkpoints or None)
     print("training complete", file=sys.stderr)
 

@@ -163,6 +163,10 @@ class TPWAMConfig:
     kernel_t: Tuple[int, int, int] = (3, 3, 3)
     kernel_s: Tuple[int, int, int] = (1, 1, 1)
     branch_fuse: BranchFuse = BranchFuse.SUM
+    # Kernel for the sum-conv / cat-reduce branch fuse (reference
+    # --sept_sum_3_kernel_size / --sept_cat_reduce_kernel_size); None
+    # falls back to kernel_t.
+    fuse_kernel: Optional[Tuple[int, int, int]] = None
     self_gate: bool = False  # (1 + tanh) self-gates on each branch
     w_t3x3_s1x1: bool = True  # decompose out-proj W into W_t + W_s
     mm_t3x3_s1x1: bool = True  # decompose project_mm into t + s branches

@@ -441,3 +441,39 @@ def convert_lavt_one(sd: FlatDict, cfg: ModelConfig) -> dict:
 
 def convert_lavt_one_file(path: str, cfg: ModelConfig) -> dict:
     return convert_lavt_one(load_torch_state_dict(path), cfg)
+
+
+def convert_lavt(model_sd: FlatDict, cfg: ModelConfig,
+                 bert_sd: Optional[FlatDict] = None) -> Tuple[dict, Optional[dict]]:
+    """The non-integrated `lavt` checkpoint: {'model': ..., 'bert_model': ...}
+    (reference train.py saves BERT separately for this variant).
+
+    Returns (model_variables, bert_params-or-None); the LAVT module takes
+    precomputed language features, so BERT params go to a standalone
+    BertEncoder apply.
+    """
+    model_sd = strip_prefixes(model_sd)
+    params: dict = {}
+    params["backbone"] = convert_mm_swin2d(model_sd, cfg, prefix="backbone.")
+    cls_params, cls_stats = convert_simple_decoding(model_sd,
+                                                    prefix="classifier.")
+    params["classifier"] = cls_params
+    variables = {"params": params, "batch_stats": {"classifier": cls_stats}}
+    bert_params = None
+    if bert_sd is not None:
+        bert_params = convert_bert(strip_prefixes(bert_sd),
+                                   cfg.bert.num_layers, prefix="")
+    return variables, bert_params
+
+
+def convert_lavt_file(path: str, cfg: ModelConfig):
+    """Load a reference `lavt` checkpoint file holding both model and
+    bert_model dicts."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    to_np = lambda d: {k: v.detach().numpy() for k, v in d.items()
+                       if hasattr(v, "shape")}
+    model_sd = to_np(ckpt["model"])
+    bert_sd = to_np(ckpt["bert_model"]) if "bert_model" in ckpt else None
+    return convert_lavt(model_sd, cfg, bert_sd)

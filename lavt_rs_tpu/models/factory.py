@@ -39,10 +39,11 @@ def make_config(name: str, swin_type: str = "base", window12: bool = True,
     window_size = 12 if window12 else 7
     swin_kw = {}
     if name == "lavt_video":
-        # Video drop-path rates per size (lib/segmentation.py:154-212).
+        # Video drop-path rates per size (lib/segmentation.py:154-212);
+        # 3D window (8,7,7) or (8,12,12) per --window12.
         swin_kw["drop_path_rate"] = {"tiny": 0.1, "small": 0.2,
                                      "base": 0.3}.get(swin_type, 0.3)
-        swin_kw["window_size"] = 7 if not window12 else 12
+        swin_kw["window_size_3d"] = (8, 12, 12) if window12 else (8, 7, 7)
         kw.setdefault("max_tokens", 22)
     swin = SwinConfig.from_size(swin_type, window_size=window_size, **swin_kw)
     return ModelConfig(name=name, swin=swin, **kw)

@@ -19,7 +19,7 @@ converted checkpoints are numerically comparable.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

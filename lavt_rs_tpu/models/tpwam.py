@@ -128,15 +128,16 @@ class SepTPWAM(nn.Module):
         if c.self_gate:
             t_vis = SelfGate3D(self.dim, dtype=self.dtype, name="t_gate_v")(t_vis)
             s_vis = SelfGate3D(self.dim, dtype=self.dtype, name="s_gate_v")(s_vis)
+        fuse_k = c.fuse_kernel or c.kernel_t
         if c.branch_fuse == BranchFuse.CAT:
-            ts_vis = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+            ts_vis = ConvGELU3D(self.dim, fuse_k, self.dropout,
                                 dtype=self.dtype, name="vis_fuse")(
                 jnp.concatenate([t_vis, s_vis], -1),
                 deterministic=deterministic)
         else:
             ts_vis = t_vis + s_vis
             if c.branch_fuse == BranchFuse.SUM_CONV:
-                ts_vis = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
+                ts_vis = ConvGELU3D(self.dim, fuse_k, self.dropout,
                                     dtype=self.dtype, name="vis_fuse")(
                                         ts_vis, deterministic=deterministic)
 
@@ -149,12 +150,12 @@ class SepTPWAM(nn.Module):
             q_t = SelfGate3D(self.dim, dtype=self.dtype, name="t_gate_q")(q_t)
             q_s = SelfGate3D(self.dim, dtype=self.dtype, name="s_gate_q")(q_s)
         if c.branch_fuse == BranchFuse.CAT:
-            query = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+            query = ConvIN3D(self.dim, fuse_k, dtype=self.dtype,
                              name="f_fuse")(jnp.concatenate([q_t, q_s], -1))
         else:
             query = q_t + q_s
             if c.branch_fuse == BranchFuse.SUM_CONV:
-                query = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
+                query = ConvIN3D(self.dim, fuse_k, dtype=self.dtype,
                                  name="f_fuse")(query)
         query = query.reshape(b, d * h * w, self.dim)
 

@@ -40,9 +40,15 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state, extra: Optional[dict]
     name = f"epoch_{epoch:04d}" + (f"_{metrics_tag}" if metrics_tag else "")
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     with ocp.StandardCheckpointer() as ckptr:
-        payload = {"state": jax.device_get(state),
-                   "extra": extra or {}, "epoch": epoch}
+        payload = {"state": jax.device_get(state), "epoch": epoch}
         ckptr.save(path, payload, force=True)
+    # extra metadata (args, tags — may contain strings orbax can't store)
+    # goes to a JSON sidecar.
+    if extra:
+        import json
+
+        with open(path + ".extra.json", "w") as f:
+            json.dump(extra, f, default=str)
     if keep:
         prune_checkpoints(ckpt_dir, keep)
     return path
@@ -73,11 +79,18 @@ def restore_checkpoint(path: str, target):
     """Restore a checkpoint saved by save_checkpoint; `target` is an
     abstract/concrete pytree of the same structure."""
     ocp = _ocp()
+    path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+        restored = ckptr.restore(path)
+    extra = None
+    if os.path.exists(path + ".extra.json"):
+        import json
+
+        with open(path + ".extra.json") as f:
+            extra = json.load(f)
     # `target` is used for structure reference only; StandardCheckpointer
     # restores the saved pytree as numpy/jax arrays.
-    return restored["state"], restored["extra"], restored["epoch"]
+    return restored["state"], extra, restored["epoch"]
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -13,13 +13,13 @@ stay float32, and no loss scaling is needed with bf16.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
+
 
 from ..config import ModelConfig
 from ..losses import get_loss

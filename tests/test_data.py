@@ -139,3 +139,20 @@ def test_preprocess_normalization():
     # (128/255 - mean) / std
     want = (128 / 255.0 - 0.485) / 0.229
     assert abs(x[0, 0, 0] - want) < 1e-5
+
+
+def test_prefetch_loader(synthetic_refcoco):
+    from lavt_rs_tpu.data.loader import PrefetchLoader, collate_refer
+
+    r = REFER(synthetic_refcoco, "refcoco", "unc")
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(VOCAB)})
+    ds = ReferDataset(r, tok, split="train", img_size=32, max_tokens=8)
+    loader = PrefetchLoader(ds, batch_size=2, collate=collate_refer,
+                            num_workers=2, prefetch=2)
+    assert len(loader) == 1
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["image"].shape == (2, 32, 32, 3)
+    # different epoch -> potentially different order; loader reusable
+    loader.set_epoch(1)
+    assert len(list(loader)) == 1

@@ -103,3 +103,36 @@ def test_lavt_video_shapes():
     v = jax.jit(model.init)(jax.random.PRNGKey(0), vid, ids, msk)
     out = model.apply(v, vid, ids, msk)
     assert out.shape == (8, 32, 32, 2)  # (B*T, H, W, classes)
+
+
+def test_video_train_step_descends():
+    from lavt_rs_tpu.train.optim import TrainConfig
+    from lavt_rs_tpu.train.step import create_train_state, make_video_train_step
+
+    cfg = lavt_video_tiny().replace(img_size=32, max_tokens=4, num_frames=3)
+    cfg = cfg.replace(
+        bert=dataclasses.replace(cfg.bert, vocab_size=50, num_layers=1),
+        swin=dataclasses.replace(cfg.swin, drop_path_rate=0.0))
+    model = build_model(cfg, train=True)
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "video": jnp.asarray(
+            rng.standard_normal((b, 3, 32, 32, 3)), jnp.float32),
+        "ids": jnp.asarray(rng.integers(0, 50, (b, 4)), jnp.int32),
+        "mask": jnp.ones((b, 4), jnp.int32),
+        "target": jnp.asarray(rng.integers(0, 2, (b, 32, 32)), jnp.int32),
+        "valid_index": jnp.asarray([0, 2], jnp.int32),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["video"][:1], batch["ids"][:1],
+        batch["mask"][:1])
+    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=50, epochs=1, loss="dice")
+    state, tx = create_train_state(model, variables, tcfg)
+    step = jax.jit(make_video_train_step(model, tx, tcfg))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert min(losses[-2:]) < losses[0], losses
