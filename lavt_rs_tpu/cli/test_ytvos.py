@@ -99,14 +99,36 @@ def main(argv=None):
         clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
 
         if variables is None:
-            if args.checkpoint:
-                raise NotImplementedError(
-                    "checkpoint loading: use cli.test-style restore")
-            print("WARNING: random weights (no --checkpoint)",
-                  file=sys.stderr)
-            variables = jax.jit(model.init)(
-                jax.random.PRNGKey(0), clip[:, :1],
-                jnp.ones((1, 22), jnp.int32), jnp.ones((1, 22), jnp.int32))
+            if args.checkpoint.endswith((".pth", ".pt")):
+                from ..convert.torch2jax import (
+                    convert_lavt_video, load_torch_state_dict,
+                )
+
+                variables = jax.tree.map(
+                    jnp.asarray,
+                    convert_lavt_video(load_torch_state_dict(
+                        args.checkpoint), cfg))
+            elif args.checkpoint:
+                from ..train.checkpoint import restore_checkpoint
+                from ..train.optim import TrainConfig
+                from ..train.step import create_train_state
+
+                init_vars = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), clip[:, :1],
+                    jnp.ones((1, 22), jnp.int32),
+                    jnp.ones((1, 22), jnp.int32))
+                state, _ = create_train_state(model, init_vars,
+                                              TrainConfig())
+                state, _, _ = restore_checkpoint(args.checkpoint, state)
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            else:
+                print("WARNING: random weights (no --checkpoint)",
+                      file=sys.stderr)
+                variables = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), clip[:, :1],
+                    jnp.ones((1, 22), jnp.int32),
+                    jnp.ones((1, 22), jnp.int32))
 
         for exp_id, exp in videos[vid]["expressions"].items():
             ids, attn = tok.encode_padded(exp["exp"], 22)

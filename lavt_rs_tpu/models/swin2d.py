@@ -66,8 +66,31 @@ class Mlp(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's tree layout (kernel/bias) so
+    the fused-kernel path and the XLA path share checkpoints."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias
+                else jnp.zeros((self.features,), jnp.float32))
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
-    """W-MSA with learned relative position bias."""
+    """W-MSA with learned relative position bias.
+
+    use_pallas=True routes qkv + attention + out-projection through the
+    fully fused Pallas kernel (ops/pallas/fused_msa.py); the parameter tree
+    is identical either way.
+    """
 
     dim: int
     window_size: Tuple[int, int]
@@ -77,14 +100,36 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
+    spatial_input: bool = False  # x is (B, Hp, Wp, C); partition is fused
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
-        """x: (B, nW, N, C); mask: (nW, N, N) or None."""
-        b, nw, n, c = x.shape
+        """x: (B, nW, N, C) — or (B, Hp, Wp, C) with spatial_input, where
+        the window partition/reverse is folded into the Pallas grid."""
         h = self.num_heads
         wh, ww = self.window_size
+        if self.spatial_input:
+            assert self.use_pallas
+            from ..ops.pallas.fused_msa import fused_window_msa_2d
+
+            c = x.shape[-1]
+            table = self.param(
+                "relative_position_bias_table", trunc_normal_init,
+                ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
+            idx = relative_position_index_2d(wh, ww)
+            bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h)
+            bias = bias.transpose(2, 0, 1)
+            scale = (self.qk_scale if self.qk_scale is not None
+                     else (c // h) ** -0.5)
+            wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, True, name="proj")()
+            out = fused_window_msa_2d(x, wqkv, bqkv, wproj, bproj, bias,
+                                      mask, h, float(scale), wh)
+            return nn.Dropout(self.proj_drop,
+                              deterministic=deterministic)(out)
+
+        b, nw, n, c = x.shape
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
@@ -92,15 +137,29 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h)
         bias = bias.transpose(2, 0, 1)  # (h, N, N)
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
-        qkv = qkv.reshape(b, nw, n, 3, h, c // h)
-        q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3))
+        scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 
-        out = window_attention(q, k, v, bias, mask=mask, scale=self.qk_scale,
-                               use_pallas=self.use_pallas)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        # The fully fused kernel needs the qkv/proj weights resident in
+        # VMEM; above C=512 (Swin-B/L stage 4) that overflows the 16 MB
+        # budget, so wide stages use the attention-only kernel instead.
+        fused_ok = self.use_pallas and c <= 512
+        if fused_ok:
+            from ..ops.pallas.fused_msa import fused_window_msa
+
+            wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, True, name="proj")()
+            out = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                   h, float(scale))
+        else:
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(x)
+            qkv = qkv.reshape(b, nw, n, 3, h, c // h)
+            q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4)
+                       for i in range(3))
+            out = window_attention(q, k, v, bias, mask=mask, scale=scale,
+                                   use_pallas=self.use_pallas)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -142,15 +201,23 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        nw = (hp // ws) * (wp // ws)
-        xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
-        xw = WindowAttention(
+        # With the fused kernel (C <= 512 fits VMEM with weights), the
+        # window partition/reverse lives in the Pallas grid index map —
+        # no HBM layout copies. Wider stages keep the XLA partition.
+        spatial_fused = self.use_pallas and c <= 512
+        attn = WindowAttention(
             dim=c, window_size=(ws, ws), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            use_pallas=self.use_pallas, dtype=self.dtype,
-            name="attn")(xw, mask=mask, deterministic=deterministic)
-        x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
+            use_pallas=self.use_pallas, spatial_input=spatial_fused,
+            dtype=self.dtype, name="attn")
+        if spatial_fused:
+            x = attn(x, mask=mask, deterministic=deterministic)
+        else:
+            nw = (hp // ws) * (wp // ws)
+            xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
+            xw = attn(xw, mask=mask, deterministic=deterministic)
+            x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

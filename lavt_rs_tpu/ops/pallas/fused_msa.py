@@ -1,0 +1,312 @@
+"""Fully fused windowed MSA: qkv projection + attention + out projection
+in one Pallas kernel.
+
+Motivation (measured on v5e, Swin-B 480², bs 16): the attention-only kernel
+(window_attn.py) removes the HBM score tensor but still leaves the qkv/proj
+GEMMs and the 6-D q/k/v layout transposes to XLA.  This kernel takes the
+*windowed tokens* (B, nW, N, C) plus the projection weights and produces the
+projected attention output directly — no (B, nW, h, N, hd) intermediates in
+HBM at all.
+
+Mosaic note: the kernel uses only 2-D values with static lane slices —
+full-width q/k/v GEMMs (K = C on the MXU) followed by a statically unrolled
+per-head loop that lane-slices (N, C) into (N, hd) views; heads re-merge via
+per-head out-projection slices summed into the (N, C) accumulator
+(concat+proj == sum of per-head projections).  Lane-splitting reshapes like
+(N, 3C) -> (N, 3, h, hd) and 3-D-rhs dots fail Mosaic's layout inference.
+
+Grid is (B, nW); weight blocks use a constant index map so Mosaic keeps
+them resident in VMEM across grid steps.
+
+Backward: recompute-based custom VJP in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+            wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
+            heads: int, scale: float):
+    """All ops are 2-D with static lane slices (Mosaic rejects lane-dim
+    reshapes and 3-D-rhs dots, which it lowers via such reshapes); the head
+    loop is a static Python unroll."""
+    x = x_ref[0, 0]  # (N, C)
+    n, c = x.shape
+    hd = c // heads
+
+    # Full-width projections — the MXU-heavy GEMMs with K = C.
+    q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+    q_all = (q_all + bq_ref[...].astype(jnp.float32)[None]) * scale
+    k_all = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+    k_all = k_all + bk_ref[...].astype(jnp.float32)[None]
+    v_all = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    v_all = v_all + bv_ref[...].astype(jnp.float32)[None]
+
+    y = jnp.zeros((n, c), jnp.float32)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (N, N)
+        s = s + bias_ref[h].astype(jnp.float32)
+        if mask_ref is not None:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (N, hd)
+        # per-head slice of the out projection; summing heads == concat+proj
+        y = y + jnp.dot(o.astype(x.dtype), wp_ref[sl, :],
+                        preferred_element_type=jnp.float32)
+    y = y + bp_ref[...].astype(jnp.float32)[None]
+    out_ref[0, 0] = y.astype(out_ref.dtype)
+
+
+def _split_weights(wqkv, bqkv, wproj, heads):
+    """Host-side split: wqkv (C, 3C) -> three (C, C); bqkv -> three (C,).
+
+    The head interleaving inside each C-wide block already matches the
+    (h, hd) lane order, so in-kernel head slicing is a static lane slice.
+    """
+    c = wqkv.shape[0]
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
+    bq, bk, bv = bqkv[:c], bqkv[c:2 * c], bqkv[2 * c:]
+    return wq, wk, wv, bq, bk, bv, wproj
+
+
+def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
+    b, nw, n, c = x.shape
+    dt = x.dtype
+    wq, wk, wv, bq, bk, bv, wp = _split_weights(
+        wqkv.astype(dt), bqkv, wproj.astype(dt), heads)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, n, c), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const(wq), const(wk), const(wv), const(bq), const(bk), const(bv),
+        const(wp), const(bproj), const(bias),
+    ]
+    args = [x, wq, wk, wv, bq, bk, bv, wp, bproj, bias]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+        kernel = functools.partial(_kernel, heads=heads, scale=scale)
+    else:
+        def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   wp_ref, bp_ref, bias_ref, out_ref):
+            _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                    wp_ref, bp_ref, bias_ref, None, out_ref, heads=heads,
+                    scale=scale)
+
+    flops = 2 * b * nw * (n * c * 3 * c + 2 * heads * n * n * (c // heads)
+                          + n * c * c)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, n, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nw, n, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b * nw * heads * n * n,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (wqkv.size + wproj.size) * 2),
+    )(*args)
+
+
+def _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+               wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
+               heads: int, scale: float):
+    """Same math as _kernel but on a (1, ws, ws, C) spatial tile — the
+    window partition is done by the BlockSpec index map, so no HBM
+    partition/reverse copies exist at all."""
+    ws0, ws1, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    n = ws0 * ws1
+    hd = c // heads
+    x = x_ref[0].reshape(n, c)  # leading-dim collapse; lanes untouched
+
+    q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+    q_all = (q_all + bq_ref[...].astype(jnp.float32)[None]) * scale
+    k_all = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+    k_all = k_all + bk_ref[...].astype(jnp.float32)[None]
+    v_all = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    v_all = v_all + bv_ref[...].astype(jnp.float32)[None]
+
+    y = jnp.zeros((n, c), jnp.float32)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_all[:, sl]
+        k = k_all[:, sl]
+        v = v_all[:, sl].astype(x.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[h].astype(jnp.float32)
+        if mask_ref is not None:
+            s = s + mask_ref[0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        y = y + jnp.dot(o.astype(x.dtype), wp_ref[sl, :],
+                        preferred_element_type=jnp.float32)
+    y = y + bp_ref[...].astype(jnp.float32)[None]
+    out_ref[0] = y.reshape(ws0, ws1, c).astype(out_ref.dtype)
+
+
+def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
+    """x: (B, Hp, Wp, C) padded + (if shifted) pre-rolled feature map."""
+    b, hp, wp_, c = x.shape
+    dt = x.dtype
+    nwh, nww = hp // ws, wp_ // ws
+    wq, wk, wv, bq, bk, bv, wpj = _split_weights(
+        wqkv.astype(dt), bqkv, wproj.astype(dt), heads)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j, k_: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, ws, ws, c), lambda i, j, k_: (i, j, k_, 0),
+                     memory_space=pltpu.VMEM),
+        const(wq), const(wk), const(wv), const(bq), const(bk), const(bv),
+        const(wpj), const(bproj), const(bias),
+    ]
+    args = [x, wq, wk, wv, bq, bk, bv, wpj, bproj, bias]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, ws * ws, ws * ws),
+                         lambda i, j, k_: (j * nww + k_, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(mask)
+        kernel = functools.partial(_kernel_2d, heads=heads, scale=scale)
+    else:
+        def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   wp_ref, bp_ref, bias_ref, out_ref):
+            _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                       bv_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
+                       heads=heads, scale=scale)
+
+    n = ws * ws
+    flops = 2 * b * nwh * nww * (n * c * 3 * c
+                                 + 2 * heads * n * n * (c // heads)
+                                 + n * c * c)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, nww),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, ws, c),
+                               lambda i, j, k_: (i, j, k_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp_, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b * nwh * nww * heads * n * n,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (wqkv.size + wproj.size) * 2),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_window_msa_2d(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                        heads: int, scale: float, ws: int):
+    """Window partition + MSA + reverse fused over a padded (and, for
+    shifted blocks, pre-rolled) (B, Hp, Wp, C) feature map."""
+    return _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws)
+
+
+def _ref_forward_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
+                    ws):
+    from ...ops.window import window_partition, window_reverse
+
+    b, hp, wp_, c = x.shape
+    nw = (hp // ws) * (wp_ // ws)
+    xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
+    y = _ref_forward(xw, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale)
+    return window_reverse(y.reshape(b * nw, ws * ws, c), ws, hp, wp_)
+
+
+def _vjp_fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
+    out = _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def _vjp_bwd_2d(heads, scale, ws, res, g):
+    x, wqkv, bqkv, wproj, bproj, bias, mask = res
+
+    def f(x, wqkv, bqkv, wproj, bproj, bias, mask):
+        return _ref_forward_2d(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                               heads, scale, ws)
+
+    _, vjp = jax.vjp(f, x, wqkv, bqkv, wproj, bproj, bias, mask)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask = vjp(
+        g.astype(jnp.float32))
+    return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
+            None if mask is None else dmask.astype(mask.dtype))
+
+
+fused_window_msa_2d.defvjp(_vjp_fwd_2d, _vjp_bwd_2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                     heads: int, scale: float):
+    """x: (B, nW, N, C) windowed tokens (post-LN);
+    wqkv (C, 3C), bqkv (3C), wproj (C, C), bproj (C),
+    bias (h, N, N), mask (nW, N, N) or None.
+    Returns the projected attention output (B, nW, N, C)."""
+    return _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale)
+
+
+def _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
+    """XLA reference (used for the backward recompute and parity tests)."""
+    b, nw, n, c = x.shape
+    hd = c // heads
+    xf = x.astype(jnp.float32)
+    qkv = jnp.einsum("bwnc,cd->bwnd", xf, wqkv.astype(jnp.float32)) + bqkv
+    qkv = qkv.reshape(b, nw, n, 3, heads, hd)
+    q = qkv[..., 0, :, :].transpose(0, 1, 3, 2, 4) * scale
+    k = qkv[..., 1, :, :].transpose(0, 1, 3, 2, 4)
+    v = qkv[..., 2, :, :].transpose(0, 1, 3, 2, 4)
+    s = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k) + bias.astype(jnp.float32)
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)[None, :, None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bwhnm,bwhmd->bwhnd", p, v)
+    o = o.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+    return jnp.einsum("bwnc,cd->bwnd", o, wproj.astype(jnp.float32)) + bproj
+
+
+def _vjp_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
+    out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def _vjp_bwd(heads, scale, res, g):
+    x, wqkv, bqkv, wproj, bproj, bias, mask = res
+
+    def f(x, wqkv, bqkv, wproj, bproj, bias, mask):
+        return _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                            heads, scale)
+
+    _, vjp = jax.vjp(f, x, wqkv, bqkv, wproj, bproj, bias, mask)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask = vjp(
+        g.astype(jnp.float32))
+    return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
+            None if mask is None else dmask.astype(mask.dtype))
+
+
+fused_window_msa.defvjp(_vjp_fwd, _vjp_bwd)

@@ -54,32 +54,37 @@ def _fwd(q, k, v, bias, mask, scale):
     dt = q.dtype
     qs = (q * jnp.asarray(scale, dt))
 
+    # Head grouping bounds the f32 (hg, N, N) score tile in VMEM — stage 4
+    # of Swin-B has 32 heads, which overflows the 16 MB budget unsplit.
+    hg = h
+    while hg > 8 and (hg * n * n * 4) > 2 * 1024 * 1024:
+        hg //= 2
+
     def qkv_spec():
-        return pl.BlockSpec((1, 1, h, n, hd), lambda i, j: (i, j, 0, 0, 0),
+        return pl.BlockSpec((1, 1, hg, n, hd),
+                            lambda i, j, g: (i, j, g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [qkv_spec(), qkv_spec(), qkv_spec(),
-                pl.BlockSpec((h, n, n), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((hg, n, n), lambda i, j, g: (g, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [qs, k, v, bias]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i, j, g: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
         kernel = _fwd_kernel
     else:
-        kernel = functools.partial(_fwd_kernel, mask_ref=None)
-        # reorder: pallas passes refs positionally; bind mask_ref=None
-        def kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):  # noqa: F811
+        def kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
             _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, None, out_ref)
 
     flops = 2 * 2 * b * nw * h * n * n * hd
     return pl.pallas_call(
         kernel,
-        grid=(b, nw),
+        grid=(b, nw, h // hg),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, h, n, hd),
-                               lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, hg, n, hd),
+                               lambda i, j, g: (i, j, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),
         cost_estimate=pl.CostEstimate(

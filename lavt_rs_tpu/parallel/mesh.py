@@ -49,3 +49,14 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def shard_video_frames(mesh: Mesh, video):
+    """Shard a (B, T, H, W, 3) clip along the FRAME axis on 'data'.
+
+    Whole-video YTVOS clips (T up to ~70 at 480²) can exceed one chip's HBM
+    (SURVEY.md §5 long-context note); 3D windows are local in T, so the
+    frame axis shards cleanly — XLA inserts halo exchanges for the
+    temporal rolls/convs and the language cross-attention is per-frame.
+    """
+    return jax.device_put(video, NamedSharding(mesh, P(None, "data")))

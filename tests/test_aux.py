@@ -103,3 +103,31 @@ def test_checkpoint_save_restore_prune(tmp_path):
     assert epoch == 3
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.arange(4.0))
+
+
+def test_forward_with_features():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.config import SwinConfig, lavt_one_tiny
+    from lavt_rs_tpu.eval.features import forward_with_features
+    from lavt_rs_tpu.models.factory import build_model
+
+    swin = SwinConfig(embed_dim=32, depths=(1, 1, 1, 1),
+                      num_heads=(2, 4, 8, 16), window_size=4,
+                      drop_path_rate=0.0)
+    cfg = lavt_one_tiny().replace(img_size=32, max_tokens=4, swin=swin)
+    cfg = cfg.replace(bert=dataclasses.replace(cfg.bert, vocab_size=50,
+                                               num_layers=1))
+    model = build_model(cfg)
+    img = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, 4), jnp.int32)
+    msk = jnp.ones((1, 4), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, msk)
+    out, feats = forward_with_features(model, v, img, ids, msk)
+    assert out.shape == (1, 32, 32, 2)
+    assert "classifier" in feats
+    # decoder fuse stages captured (the forward_feats analogue)
+    assert any(k.startswith("fuse") for k in feats["classifier"])

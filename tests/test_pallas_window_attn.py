@@ -57,3 +57,126 @@ def test_pallas_grads_match_xla(rng):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_matches_ref(rng):
+    from lavt_rs_tpu.ops.pallas.fused_msa import fused_window_msa, _ref_forward
+
+    b, nw, n, c, h = 2, 3, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.7, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                               h, scale)
+    want = _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # no-mask path
+    with pltpu.force_tpu_interpret_mode():
+        got2 = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, None,
+                                h, scale)
+    want2 = _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, None, h, scale)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_grads(rng):
+    from lavt_rs_tpu.ops.pallas.fused_msa import fused_window_msa, _ref_forward
+
+    b, nw, n, c, h = 1, 2, 8, 16, 2
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.2)
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.2)
+    bproj = jnp.zeros((c,))
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def loss_p(x, wqkv, wproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                     None, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, wproj, bias):
+        return (_ref_forward(x, wqkv, bqkv, wproj, bproj, bias, None, h,
+                             scale) ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_window_attention_module_pallas_matches_xla(rng):
+    """The full WindowAttention module: fused path == XLA path with the
+    same parameter tree."""
+    from lavt_rs_tpu.models.swin2d import WindowAttention
+
+    b, nw, n, c, h, ws = 2, 4, 16, 32, 4, 4
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    m_x = WindowAttention(dim=c, window_size=(ws, ws), num_heads=h)
+    v = m_x.init(jax.random.PRNGKey(0), x)
+    want = m_x.apply(v, x)
+    m_p = WindowAttention(dim=c, window_size=(ws, ws), num_heads=h,
+                          use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = m_p.apply(v, x)  # same variables!
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_2d_matches_partitioned(rng):
+    """The spatial-grid kernel (partition folded into BlockSpec) equals
+    partition -> fused_window_msa -> reverse."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (
+        _ref_forward_2d, fused_window_msa_2d,
+    )
+
+    b, hp, wp_, c, h, ws = 2, 8, 12, 32, 4, 4
+    x = jnp.asarray(rng.standard_normal((b, hp, wp_, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((h, ws * ws, ws * ws))
+                       .astype(np.float32))
+    nw = (hp // ws) * (wp_ // ws)
+    mask = jnp.asarray(np.where(rng.random((nw, ws * ws, ws * ws)) > 0.7,
+                                -100.0, 0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_window_msa_2d(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                                  h, scale, ws)
+    want = _ref_forward_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, h,
+                           scale, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_swin_block_pallas_full_path_matches_xla(rng):
+    """Whole SwinBlock (shifted + padded) with the spatial fused kernel
+    equals the XLA block using the same variables."""
+    from lavt_rs_tpu.models.swin2d import SwinBlock
+
+    dim, heads, ws, H, W, B = 32, 4, 4, 10, 7, 2
+    x = jnp.asarray(rng.standard_normal((B, H * W, dim)).astype(np.float32))
+    blk_x = SwinBlock(dim=dim, num_heads=heads, window_size=ws, shift_size=2)
+    v = blk_x.init(jax.random.PRNGKey(0), x, (H, W))
+    want = blk_x.apply(v, x, (H, W))
+    blk_p = SwinBlock(dim=dim, num_heads=heads, window_size=ws, shift_size=2,
+                      use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = blk_p.apply(v, x, (H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -92,55 +92,91 @@ def test_poly_lr_schedule():
     assert float(s(4000)) == 0.0
 
 
-def test_data_parallel_matches_single_device(train_setup):
-    """The sharded step computes the same update as the unsharded step."""
-    cfg, model, variables, batch = train_setup
-    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=100, epochs=1, loss="dice")
-    state, tx = create_train_state(model, variables, tcfg)
-    step = make_train_step(model, tx, tcfg)
-    key = jax.random.PRNGKey(0)
+def test_data_parallel_matches_single_device():
+    """The sharded grads/step equal the unsharded ones.
 
-    # single device
-    s1, m1 = jax.jit(step)(state, batch, key)
+    Measured on this model (random init): at float32 compute the sharded
+    program differs from the single-device one by ~10% relative on grads —
+    NOT a sync bug but chaos: batch-sharding changes XLA's matmul tiling,
+    the ~1e-7 accumulation-order noise is then amplified ~1e6x by
+    InstanceNorm-at-init (var ~ eps), the 12-layer BERT, and train-mode BN
+    feedback. At float64 compute the same comparison collapses to ~1e-4,
+    which is the sharp discriminator: a semantic sharding bug (missing
+    psum, wrong batch split) stays O(1) at any precision.
+    """
+    from lavt_rs_tpu.config import SwinConfig
 
-    # 8-device data-parallel
-    mesh = make_mesh(jax.devices()[:8])
-    state8 = replicate(mesh, state)
-    batch8 = shard_batch(mesh, batch)
-    s8, m8 = jax.jit(step)(state8, batch8, key)
+    if jax.config.jax_enable_x64:
+        pytest.skip("needs default-x32 harness to control dtypes explicitly")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        swin = SwinConfig(embed_dim=48, depths=(1, 1, 2, 1),
+                          num_heads=(3, 6, 12, 24), window_size=7,
+                          drop_path_rate=0.0)
+        cfg = lavt_one_tiny().replace(img_size=32, max_tokens=4, swin=swin,
+                                      dtype="float64")
+        cfg = cfg.replace(bert=dataclasses.replace(
+            cfg.bert, vocab_size=50, num_layers=4))
+        model = build_model(cfg, train=True)
+        rng = np.random.default_rng(0)
+        b = 8
+        batch = {
+            "image": jnp.asarray(rng.standard_normal((b, 32, 32, 3)),
+                                 jnp.float64),
+            "ids": jnp.asarray(rng.integers(0, 50, (b, 4)), jnp.int32),
+            "mask": jnp.ones((b, 4), jnp.int32),
+            "target": jnp.asarray(rng.integers(0, 2, (b, 32, 32)), jnp.int32),
+        }
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), batch["image"][:1], batch["ids"][:1],
+            batch["mask"][:1])
+        tcfg = TrainConfig(lr=1e-3, iters_per_epoch=100, epochs=1,
+                           loss="dice")
+        state, tx = create_train_state(model, variables, tcfg)
+        step = make_train_step(model, tx, tcfg)
+        key = jax.random.PRNGKey(0)
 
-    assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
-    # Compare GRADIENTS (pre-Adam): Adam's sign-like first update amplifies
-    # reduction-order noise on near-zero grads into O(lr) param diffs, so
-    # the post-update params are not a sharp signal — the grads are.
-    from lavt_rs_tpu.losses import get_loss
+        s1, m1 = jax.jit(step)(state, batch, key)
 
-    loss_fn = get_loss(tcfg.loss)
+        mesh = make_mesh(jax.devices()[:8])
+        state8 = replicate(mesh, state)
+        batch8 = shard_batch(mesh, batch)
+        s8, m8 = jax.jit(step)(state8, batch8, key)
 
-    def scalar_loss(params, batch):
-        out, _ = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["image"], batch["ids"], batch["mask"],
-            deterministic=True, mutable=["batch_stats"])
-        return loss_fn(out, batch["target"])
+        assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-6)
 
-    g1 = jax.jit(jax.grad(scalar_loss))(state.params, batch)
-    g8 = jax.jit(jax.grad(scalar_loss))(state8.params, batch8)
-    # Batch-axis sharding changes per-shard reduction shapes (conv/BN
-    # accumulation order), giving O(1e-4) absolute noise on grads — a
-    # relative-L2 criterion per leaf is the robust discriminator (a missing
-    # gradient sync would give O(1) relative error).
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        denom = np.linalg.norm(a) + 1e-8
-        rel_l2 = np.linalg.norm(a - b) / denom
-        assert rel_l2 < 0.02, rel_l2
-    n1 = np.sqrt(sum(float((np.asarray(x) ** 2).sum())
-                     for x in jax.tree.leaves(g1)))
-    n8 = np.sqrt(sum(float((np.asarray(x) ** 2).sum())
-                     for x in jax.tree.leaves(g8)))
-    assert abs(n1 - n8) / n1 < 0.01, (n1, n8)
-    # and the one-step params stay within an LR-scale envelope
-    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=0, atol=2.5e-3)
+        from lavt_rs_tpu.losses import get_loss
+
+        loss_fn = get_loss(tcfg.loss)
+
+        def scalar_loss(params, batch):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], batch["ids"], batch["mask"],
+                deterministic=True, mutable=["batch_stats"])
+            return loss_fn(out, batch["target"])
+
+        g1 = jax.jit(jax.grad(scalar_loss))(state.params, batch)
+        g8 = jax.jit(jax.grad(scalar_loss))(state8.params, batch8)
+        gnorm = np.sqrt(sum(float((np.asarray(x, np.float64) ** 2).sum())
+                            for x in jax.tree.leaves(g1)))
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g1)[0],
+                jax.tree_util.tree_flatten_with_path(g8)[0]):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            # hybrid criterion: leaves much smaller than the global grad
+            # norm are judged against it, not their own (noise-dominated)
+            # norm
+            denom = max(np.linalg.norm(a), 1e-3 * gnorm)
+            rel_l2 = np.linalg.norm(a - b) / denom
+            assert rel_l2 < 0.02, (rel_l2, jax.tree_util.keystr(path))
+        # One-step params: Adam's first update is ±lr·sign(g), and sign(g)
+        # is noise for near-zero grads (the zero-init language gates), so
+        # the envelope is 2·lr, not a tight tolerance.
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2.5e-3)
+    finally:
+        jax.config.update("jax_enable_x64", False)

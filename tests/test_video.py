@@ -136,3 +136,30 @@ def test_video_train_step_descends():
         state, m = step(state, batch, key)
         losses.append(float(m["loss"]))
     assert min(losses[-2:]) < losses[0], losses
+
+
+def test_video_frame_axis_sharding_matches_unsharded():
+    """Whole-video inference with the frame axis sharded across the mesh
+    (the HBM-overflow strategy for long YTVOS clips) must match the
+    single-device result."""
+    from lavt_rs_tpu.parallel.mesh import make_mesh, replicate, shard_video_frames
+
+    cfg = lavt_video_tiny().replace(img_size=32, max_tokens=4, num_frames=8)
+    cfg = cfg.replace(bert=dataclasses.replace(
+        cfg.bert, vocab_size=60, num_layers=1))
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((1, 4), jnp.int32)
+    msk = jnp.ones((1, 4), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), vid, ids, msk)
+
+    want = np.asarray(jax.jit(lambda v, *a: model.apply(v, *a))(
+        v, vid, ids, msk))
+
+    mesh = make_mesh(jax.devices()[:4])
+    v8 = replicate(mesh, v)
+    vid8 = shard_video_frames(mesh, vid)
+    got = np.asarray(jax.jit(lambda v, *a: model.apply(v, *a))(
+        v8, vid8, replicate(mesh, ids), replicate(mesh, msk)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
