@@ -100,35 +100,13 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
-    spatial_input: bool = False  # x is (B, Hp, Wp, C); partition is fused
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
-        """x: (B, nW, N, C) — or (B, Hp, Wp, C) with spatial_input, where
-        the window partition/reverse is folded into the Pallas grid."""
+        """x: (B, nW, N, C); mask: (nW, N, N) or None."""
         h = self.num_heads
         wh, ww = self.window_size
-        if self.spatial_input:
-            assert self.use_pallas
-            from ..ops.pallas.fused_msa import fused_window_msa_2d
-
-            c = x.shape[-1]
-            table = self.param(
-                "relative_position_bias_table", trunc_normal_init,
-                ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-            idx = relative_position_index_2d(wh, ww)
-            bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h)
-            bias = bias.transpose(2, 0, 1)
-            scale = (self.qk_scale if self.qk_scale is not None
-                     else (c // h) ** -0.5)
-            wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
-            wproj, bproj = _DenseParams(c, c, True, name="proj")()
-            out = fused_window_msa_2d(x, wqkv, bqkv, wproj, bproj, bias,
-                                      mask, h, float(scale), wh)
-            return nn.Dropout(self.proj_drop,
-                              deterministic=deterministic)(out)
-
         b, nw, n, c = x.shape
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
@@ -201,23 +179,20 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        # With the fused kernel (C <= 512 fits VMEM with weights), the
-        # window partition/reverse lives in the Pallas grid index map —
-        # no HBM layout copies. Wider stages keep the XLA partition.
-        spatial_fused = self.use_pallas and c <= 512
+        # NOTE: folding the window partition into the Pallas grid (the
+        # fused_msa_2d spatial kernel) is blocked on real hardware — window
+        # slices land at 12k sublane offsets, which Mosaic's (8, 128)
+        # tiling rejects — so the partition/reverse stay XLA layout ops and
+        # the fused kernel consumes windowed (B, nW, N, C) tokens.
         attn = WindowAttention(
             dim=c, window_size=(ws, ws), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            use_pallas=self.use_pallas, spatial_input=spatial_fused,
-            dtype=self.dtype, name="attn")
-        if spatial_fused:
-            x = attn(x, mask=mask, deterministic=deterministic)
-        else:
-            nw = (hp // ws) * (wp // ws)
-            xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
-            xw = attn(xw, mask=mask, deterministic=deterministic)
-            x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn")
+        nw = (hp // ws) * (wp // ws)
+        xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
+        xw = attn(xw, mask=mask, deterministic=deterministic)
+        x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

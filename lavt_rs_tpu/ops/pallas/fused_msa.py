@@ -129,14 +129,19 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
 
 def _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
-               heads: int, scale: float):
-    """Same math as _kernel but on a (1, ws, ws, C) spatial tile — the
-    window partition is done by the BlockSpec index map, so no HBM
-    partition/reverse copies exist at all."""
-    ws0, ws1, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    n = ws0 * ws1
+               heads: int, scale: float, ws: int):
+    """Same math as _kernel on one window sliced out of a (1, ws, Wp, C)
+    row-of-windows tile.  Mosaic requires the last two block dims to be
+    (8k, 128m)-aligned, which a bare (ws, ws) window tile violates for
+    ws=7/12 — so the block is the full padded row (Wp is a ws multiple and
+    C is 128-aligned for every fused stage), its index map ignores the
+    innermost grid dim (Mosaic then keeps it VMEM-resident across the row),
+    and the per-window slice happens in-kernel."""
+    c = x_ref.shape[3]
+    n = ws * ws
     hd = c // heads
-    x = x_ref[0].reshape(n, c)  # leading-dim collapse; lanes untouched
+    w_idx = pl.program_id(2)
+    x = x_ref[0, :, pl.dslice(w_idx * ws, ws), :].reshape(n, c)
 
     q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
     q_all = (q_all + bq_ref[...].astype(jnp.float32)[None]) * scale
@@ -163,7 +168,8 @@ def _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         y = y + jnp.dot(o.astype(x.dtype), wp_ref[sl, :],
                         preferred_element_type=jnp.float32)
     y = y + bp_ref[...].astype(jnp.float32)[None]
-    out_ref[0] = y.reshape(ws0, ws1, c).astype(out_ref.dtype)
+    out_ref[0, :, pl.dslice(w_idx * ws, ws), :] = (
+        y.reshape(ws, ws, c).astype(out_ref.dtype))
 
 
 def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
@@ -176,9 +182,10 @@ def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i, j, k_: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, ws, wp_, c), lambda i, j, k_: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, ws, ws, c), lambda i, j, k_: (i, j, k_, 0),
-                     memory_space=pltpu.VMEM),
+        row_spec,
         const(wq), const(wk), const(wv), const(bq), const(bk), const(bv),
         const(wpj), const(bproj), const(bias),
     ]
@@ -189,13 +196,14 @@ def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
                          lambda i, j, k_: (j * nww + k_, 0, 0),
                          memory_space=pltpu.VMEM))
         args.append(mask)
-        kernel = functools.partial(_kernel_2d, heads=heads, scale=scale)
+        kernel = functools.partial(_kernel_2d, heads=heads, scale=scale,
+                                   ws=ws)
     else:
         def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                    wp_ref, bp_ref, bias_ref, out_ref):
             _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
                        bv_ref, wp_ref, bp_ref, bias_ref, None, out_ref,
-                       heads=heads, scale=scale)
+                       heads=heads, scale=scale, ws=ws)
 
     n = ws * ws
     flops = 2 * b * nwh * nww * (n * c * 3 * c
@@ -205,8 +213,8 @@ def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
         kernel,
         grid=(b, nwh, nww),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, ws, c),
-                               lambda i, j, k_: (i, j, k_, 0),
+        out_specs=pl.BlockSpec((1, ws, wp_, c),
+                               lambda i, j, k_: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp_, c), dt),
         cost_estimate=pl.CostEstimate(
@@ -220,7 +228,14 @@ def _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws):
 def fused_window_msa_2d(x, wqkv, bqkv, wproj, bproj, bias, mask,
                         heads: int, scale: float, ws: int):
     """Window partition + MSA + reverse fused over a padded (and, for
-    shifted blocks, pre-rolled) (B, Hp, Wp, C) feature map."""
+    shifted blocks, pre-rolled) (B, Hp, Wp, C) feature map.
+
+    STATUS: correct in interpret mode, but NOT yet usable on real TPUs —
+    the in-kernel window slices sit at ws-multiple (e.g. 12k) sublane
+    offsets, which Mosaic's (8, 128) tiling rejects (the remote compile
+    crashes).  The model path therefore uses fused_window_msa on
+    XLA-partitioned windows; this kernel is kept for when Mosaic grows
+    unaligned-sublane slicing."""
     return _fwd_2d(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ws)
 
 
