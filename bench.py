@@ -99,13 +99,23 @@ def main():
         log(f"bs={bs} compile+first: {time.perf_counter() - t0:.1f}s")
 
         def run(k):
+            """Queue k steps back-to-back, sync once at the end.
+
+            Submission is async through the relay, so queued steps pipeline
+            on the device; syncing every call (float() per step) would add
+            the ~28ms dispatch round-trip to every step and underreport
+            throughput by ~25%. The k=1 subtraction removes the single
+            final sync + fixed overhead.
+            """
             t0 = time.perf_counter()
+            r = None
             for _ in range(k):
-                float(fwd_sum(variables, img, ids, mask))
+                r = fwd_sum(variables, img, ids, mask)
+            float(r)
             return time.perf_counter() - t0
 
         t1 = run(1)
-        n_iter = 5
+        n_iter = 10
         tn = run(n_iter + 1)
         dt = max((tn - t1) / n_iter, 1e-9)
         ips = bs / dt

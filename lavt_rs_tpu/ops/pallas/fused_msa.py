@@ -35,41 +35,69 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
             heads: int, scale: float):
-    """All ops are 2-D with static lane slices (Mosaic rejects lane-dim
-    reshapes and 3-D-rhs dots, which it lowers via such reshapes); the head
-    loop is a static Python unroll."""
-    x = x_ref[0, 0]  # (N, C)
-    n, c = x.shape
+    """Processes a CHUNK of ch windows per grid step.
+
+    One window per step (grid b*nW) is latency-bound: at Swin-B stage 1
+    that is 1600 steps of (144, 128) tiles, ~5us fixed cost each.  Chunking
+    turns the qkv/out projections into (ch*N, C) GEMMs and batches the
+    per-head attention dots over the chunk, amortizing the step overhead.
+
+    Mosaic notes: projections are 2-D with static lane slices (lane-dim
+    reshapes like (N, 3C)->(N, 3, h, hd) fail layout inference); the head
+    loop is a static Python unroll; the per-head score/out dots are 3-D
+    dot_generals batched over the chunk dim."""
+    ch, n, c = x_ref.shape
     hd = c // heads
+    x = x_ref[...].reshape(ch * n, c)  # leading-dim collapse only
 
     # Full-width projections — the MXU-heavy GEMMs with K = C.
     q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
     q_all = (q_all + bq_ref[...].astype(jnp.float32)[None]) * scale
     k_all = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
-    k_all = k_all + bk_ref[...].astype(jnp.float32)[None]
+    k_all = (k_all + bk_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
     v_all = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
-    v_all = v_all + bv_ref[...].astype(jnp.float32)[None]
+    v_all = (v_all + bv_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
 
-    y = jnp.zeros((n, c), jnp.float32)
+    y = jnp.zeros((ch * n, c), jnp.float32)
+    batched = (((2,), (2,)), ((0,), (0,)))  # contract hd, batch chunk
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        q = q_all[:, sl]
-        k = k_all[:, sl]
-        v = v_all[:, sl].astype(x.dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (N, N)
-        s = s + bias_ref[h].astype(jnp.float32)
+        q = q_all[:, sl].astype(x.dtype).reshape(ch, n, hd)
+        k = k_all[:, sl].reshape(ch, n, hd)
+        v = v_all[:, sl].reshape(ch, n, hd)
+        s = jax.lax.dot_general(q, k, batched,
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
         if mask_ref is not None:
-            s = s + mask_ref[0].astype(jnp.float32)
+            s = s + mask_ref[...].astype(jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (N, hd)
+        o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         # per-head slice of the out projection; summing heads == concat+proj
-        y = y + jnp.dot(o.astype(x.dtype), wp_ref[sl, :],
+        y = y + jnp.dot(o.astype(x.dtype).reshape(ch * n, hd), wp_ref[sl, :],
                         preferred_element_type=jnp.float32)
     y = y + bp_ref[...].astype(jnp.float32)[None]
-    out_ref[0, 0] = y.astype(out_ref.dtype)
+    out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
+
+
+def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int) -> int:
+    """Largest divisor of nw whose per-step VMEM footprint stays under a
+    ~6 MB budget (16 MB VMEM minus weights, bias, and double-buffering)."""
+    best = 1
+    for ch in range(1, nw + 1):
+        if nw % ch:
+            continue
+        buf = (ch * n * c * itemsize          # x block
+               + 3 * ch * n * c * 4           # q f32 + k/v (pre-cast peak)
+               + ch * n * n * 4               # one head's scores
+               + ch * n * c * 4               # y accumulator
+               + ch * n * n * 4)              # mask block
+        if buf <= 6 * 1024 * 1024:
+            best = ch
+    return best
 
 
 def _split_weights(wqkv, bqkv, wproj, heads):
@@ -90,17 +118,25 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
     wq, wk, wv, bq, bk, bv, wp = _split_weights(
         wqkv.astype(dt), bqkv, wproj.astype(dt), heads)
 
-    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+    ch = _pick_chunk(nw, n, c, heads, jnp.dtype(dt).itemsize)
+    m = b * nw
+    xm = x.reshape(m, n, c)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, n, c), lambda i, j: (i, j, 0, 0),
+        pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         const(wq), const(wk), const(wv), const(bq), const(bk), const(bv),
         const(wp), const(bproj), const(bias),
     ]
-    args = [x, wq, wk, wv, bq, bk, bv, wp, bproj, bias]
+    args = [xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i, j: (j, 0, 0),
+        # chunk i covers windows [i*ch, (i+1)*ch) of image i*ch//nw; since
+        # ch | nw the chunk never crosses an image, and its in-image window
+        # offset is (i mod nw//ch) in block units.
+        per_img = nw // ch
+        in_specs.append(pl.BlockSpec((ch, n, n), lambda i: (i % per_img, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
         kernel = functools.partial(_kernel, heads=heads, scale=scale)
@@ -113,18 +149,19 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
 
     flops = 2 * b * nw * (n * c * 3 * c + 2 * heads * n * n * (c // heads)
                           + n * c * c)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, nw),
+        grid=(m // ch,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, n, c), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nw, n, c), dt),
+        out_shape=jax.ShapeDtypeStruct((m, n, c), dt),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=b * nw * heads * n * n,
             bytes_accessed=2 * x.size * x.dtype.itemsize
             + (wqkv.size + wproj.size) * 2),
     )(*args)
+    return out.reshape(b, nw, n, c)
 
 
 def _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
