@@ -477,3 +477,195 @@ def convert_lavt_file(path: str, cfg: ModelConfig):
     model_sd = to_np(ckpt["model"])
     bert_sd = to_np(ckpt["bert_model"]) if "bert_model" in ckpt else None
     return convert_lavt(model_sd, cfg, bert_sd)
+
+
+# ---------------------------------------------------------------------------
+# VLT / LTS decoder heads (reference lib/vlt.py:12-485,
+# lib/mask_predictor.py:147-281)
+# ---------------------------------------------------------------------------
+
+def _convbn(params, stats, sd, conv_key, bn_key, dst):
+    """torch Conv2d(+BatchNorm2d) pair -> ConvBN {conv, bn} subtree."""
+    _set(params, dst + ("conv", "kernel"), _conv2d(sd[f"{conv_key}.weight"]))
+    _set(params, dst + ("bn", "scale"), sd[f"{bn_key}.weight"])
+    _set(params, dst + ("bn", "bias"), sd[f"{bn_key}.bias"])
+    _set(stats, dst + ("bn", "mean"), sd[f"{bn_key}.running_mean"])
+    _set(stats, dst + ("bn", "var"), sd[f"{bn_key}.running_var"])
+
+
+def _mha(params, sd, src, dst):
+    """torch nn.MultiheadAttention -> models.vlt.MHA {q,k,v,out}_proj."""
+    w = sd[f"{src}.in_proj_weight"]
+    b = sd[f"{src}.in_proj_bias"]
+    d = w.shape[1]
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        _set(params, dst + (name, "kernel"),
+             np.ascontiguousarray(w[i * d:(i + 1) * d].T))
+        _set(params, dst + (name, "bias"), b[i * d:(i + 1) * d])
+    _set(params, dst + ("out_proj", "kernel"),
+         _lin(sd[f"{src}.out_proj.weight"]))
+    _set(params, dst + ("out_proj", "bias"), sd[f"{src}.out_proj.bias"])
+
+
+def _lnorm(params, sd, src, dst):
+    _set(params, dst + ("scale",), sd[f"{src}.weight"])
+    _set(params, dst + ("bias",), sd[f"{src}.bias"])
+
+
+def convert_vlt_decoder(sd: FlatDict, prefix: str = "classifier.",
+                        nlayers: int = 2):
+    """Reference VLTFuseAndClassify state_dict -> (params, batch_stats)
+    for models.vlt.VLTFuseAndClassify (lib/vlt.py:12-196)."""
+    p = prefix
+    params: dict = {}
+    stats: dict = {}
+
+    pairs = [
+        (f"{p}vis_reduce_chann_1.0", f"{p}vis_reduce_chann_1.1",
+         ("vis_reduce_1a",)),
+        (f"{p}vis_reduce_chann_1.3", f"{p}vis_reduce_chann_1.4",
+         ("vis_reduce_1b",)),
+        (f"{p}vis_reduce_chann_2.0", f"{p}vis_reduce_chann_2.1",
+         ("vis_reduce_2",)),
+        (f"{p}fuse_1_2.0", f"{p}fuse_1_2.1", ("fuse_1_2",)),
+        (f"{p}vis_reduce_chann_3.0", f"{p}vis_reduce_chann_3.1",
+         ("vis_reduce_3",)),
+        (f"{p}fuse_2_3.0", f"{p}fuse_2_3.1", ("fuse_2_3",)),
+        (f"{p}hallucinate_result_of_23.0", f"{p}hallucinate_result_of_23.1",
+         ("hallucinate_a",)),
+        (f"{p}hallucinate_result_of_23.3", f"{p}hallucinate_result_of_23.4",
+         ("hallucinate_b",)),
+        (f"{p}project_again.0", f"{p}project_again.1", ("project_again",)),
+        (f"{p}fuse_again.0", f"{p}fuse_again.1", ("fuse_again",)),
+        (f"{p}last_project.0", f"{p}last_project.1", ("last_project",)),
+        (f"{p}spatial_refine.0", f"{p}spatial_refine.1",
+         ("spatial_refine",)),
+    ]
+    for conv, bn, dst in pairs:
+        _convbn(params, stats, sd, conv, bn, dst)
+
+    # sentence projection: Linear + BatchNorm1d
+    _set(params, ("lang_proj", "kernel"), _lin(sd[f"{p}lang_proj.0.weight"]))
+    _set(params, ("lang_proj", "bias"), sd[f"{p}lang_proj.0.bias"])
+    _set(params, ("lang_proj_bn", "scale"), sd[f"{p}lang_proj.1.weight"])
+    _set(params, ("lang_proj_bn", "bias"), sd[f"{p}lang_proj.1.bias"])
+    _set(stats, ("lang_proj_bn", "mean"), sd[f"{p}lang_proj.1.running_mean"])
+    _set(stats, ("lang_proj_bn", "var"), sd[f"{p}lang_proj.1.running_var"])
+    _set(params, ("joint_threshold_bn", "scale"),
+         sd[f"{p}joint_threshold.0.weight"])
+    _set(params, ("joint_threshold_bn", "bias"),
+         sd[f"{p}joint_threshold.0.bias"])
+    _set(stats, ("joint_threshold_bn", "mean"),
+         sd[f"{p}joint_threshold.0.running_mean"])
+    _set(stats, ("joint_threshold_bn", "var"),
+         sd[f"{p}joint_threshold.0.running_var"])
+
+    # query generation
+    qg = f"{p}query_generation."
+    for i in range(3):
+        _convbn(params, stats, sd, f"{qg}project_1.{3 * i}",
+                f"{qg}project_1.{3 * i + 1}",
+                ("query_generation", f"project_1_{i}"))
+    _set(params, ("query_generation", "project_2", "kernel"),
+         _conv2d(sd[f"{qg}project_2.weight"]))
+    _set(params, ("query_generation", "project_query", "kernel"),
+         _lin(sd[f"{qg}project_query.0.weight"]))
+    _set(params, ("query_generation", "project_lang", "kernel"),
+         _lin(sd[f"{qg}project_lang.0.weight"]))
+    _mha(params, sd, f"{qg}query_gen", ("query_generation", "query_gen"))
+
+    # transformer encoder / decoder layers
+    tf = f"{p}transformer_fusion."
+    for i in range(nlayers):
+        enc = f"{tf}transformer_encoder.layers.{i}"
+        _mha(params, sd, f"{enc}.self_attn", (f"enc_{i}", "self_attn"))
+        for lin in ("linear1", "linear2"):
+            _set(params, (f"enc_{i}", lin, "kernel"),
+                 _lin(sd[f"{enc}.{lin}.weight"]))
+            _set(params, (f"enc_{i}", lin, "bias"), sd[f"{enc}.{lin}.bias"])
+        _lnorm(params, sd, f"{enc}.norm1", (f"enc_{i}", "norm1"))
+        _lnorm(params, sd, f"{enc}.norm2", (f"enc_{i}", "norm2"))
+
+        dec = f"{tf}transformer_decoder.layers.{i}"
+        _mha(params, sd, f"{dec}.self_attn", (f"dec_{i}", "self_attn"))
+        _mha(params, sd, f"{dec}.multihead_attn", (f"dec_{i}", "cross_attn"))
+        for lin in ("linear1", "linear2"):
+            _set(params, (f"dec_{i}", lin, "kernel"),
+                 _lin(sd[f"{dec}.{lin}.weight"]))
+            _set(params, (f"dec_{i}", lin, "bias"), sd[f"{dec}.{lin}.bias"])
+        for n in ("norm1", "norm2", "norm3"):
+            _lnorm(params, sd, f"{dec}.{n}", (f"dec_{i}", n))
+
+    # query balancing + link
+    qb = f"{p}query_balancing."
+    _set(params, ("query_balancing", "not_decoded_query_proj", "kernel"),
+         _lin(sd[f"{qb}not_decoded_query_proj.0.weight"]))
+    _set(params, ("query_balancing", "decoded_query_proj", "kernel"),
+         _lin(sd[f"{qb}decoded_query_proj.0.weight"]))
+    _set(params, ("query_balancing", "gate_fc1", "kernel"),
+         _lin(sd[f"{qb}gate_proj.0.weight"]))
+    _set(params, ("query_balancing", "gate_fc2", "kernel"),
+         _lin(sd[f"{qb}gate_proj.2.weight"]))
+    _set(params, ("q_to_spatial", "kernel"),
+         _lin(sd[f"{p}q_to_spatial.0.weight"]))
+
+    # progressive decoding
+    dmap = [("conv1_4", "bn1_4", "c4a"), ("conv2_4", "bn2_4", "c4b"),
+            ("conv1_3", "bn1_3", "c3"), ("conv1_2", "bn1_2", "c2"),
+            ("conv1_1", "bn1_1", "c1")]
+    for conv, bn, dst in dmap:
+        _convbn(params, stats, sd, f"{p}decoding.{conv}",
+                f"{p}decoding.{bn}", ("decoding", dst))
+    _set(params, ("decoding", "classifier", "kernel"),
+         _conv2d(sd[f"{p}decoding.classifier.weight"]))
+    _set(params, ("decoding", "classifier", "bias"),
+         sd[f"{p}decoding.classifier.bias"])
+    return params, stats
+
+
+def convert_lts_decoder(sd: FlatDict, prefix: str = "classifier."):
+    """Reference LTSDecoding state_dict -> (params, batch_stats) for
+    models.lts.LTSDecoding (lib/mask_predictor.py:147-281)."""
+    p = prefix
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, ("lang_gen_fc1", "kernel"),
+         _lin(sd[f"{p}lang_gen.project.0.weight"]))
+    _set(params, ("lang_gen_fc1", "bias"), sd[f"{p}lang_gen.project.0.bias"])
+    _set(params, ("lang_gen_fc2", "kernel"),
+         _lin(sd[f"{p}lang_gen.project.2.weight"]))
+    _set(params, ("lang_gen_fc2", "bias"), sd[f"{p}lang_gen.project.2.bias"])
+    _set(params, ("lang_proj", "kernel"), _lin(sd[f"{p}lang_proj.0.weight"]))
+    _set(params, ("lang_proj", "bias"), sd[f"{p}lang_proj.0.bias"])
+
+    for name in ("vis_proj", "conv4", "conv3_v", "conv3", "conv2_v"):
+        _set(params, (name, "kernel"), _conv2d(sd[f"{p}{name}.0.weight"]))
+
+    _set(params, ("lang_filter", "kernel"), _lin(sd[f"{p}lang_filter.weight"]))
+    _set(params, ("lang_filter", "bias"), sd[f"{p}lang_filter.bias"])
+
+    # ASPP: convs.0 = 1x1, convs.1-3 = atrous, convs.4 = pooling, + project
+    a = f"{p}aspp."
+    _set(params, ("aspp", "conv1x1", "kernel"),
+         _conv2d(sd[f"{a}convs.0.0.weight"]))
+    _lnorm_bn = lambda src, dst: (
+        _set(params, dst + ("scale",), sd[f"{src}.weight"]),
+        _set(params, dst + ("bias",), sd[f"{src}.bias"]),
+        _set(stats, dst + ("mean",), sd[f"{src}.running_mean"]),
+        _set(stats, dst + ("var",), sd[f"{src}.running_var"]))
+    _lnorm_bn(f"{a}convs.0.1", ("aspp", "bn1x1"))
+    for i in range(3):
+        _set(params, ("aspp", f"atrous_{i}", "conv", "kernel"),
+             _conv2d(sd[f"{a}convs.{i + 1}.0.weight"]))
+        _lnorm_bn(f"{a}convs.{i + 1}.1", ("aspp", f"atrous_{i}", "bn"))
+    _set(params, ("aspp", "pool", "conv", "kernel"),
+         _conv2d(sd[f"{a}convs.4.1.weight"]))
+    _lnorm_bn(f"{a}convs.4.2", ("aspp", "pool", "bn"))
+    _set(params, ("aspp", "project", "kernel"),
+         _conv2d(sd[f"{a}project.0.weight"]))
+    _lnorm_bn(f"{a}project.1", ("aspp", "project_bn"))
+
+    _set(params, ("head", "kernel"), _conv2d(sd[f"{p}conv1_1.weight"]))
+    _set(params, ("head", "bias"), sd[f"{p}conv1_1.bias"])
+    return params, stats

@@ -47,21 +47,23 @@ class SpatialImageLanguageAttention(nn.Module):
     att_norm: AttnNorm = AttnNorm.IN
     dtype: jnp.dtype = jnp.float32
 
-    def _norm(self, x, name):
+    def _norm(self, x, name, train=False):
         # Norm applied on (B, L, C) tokens after the projection.
         if self.att_norm == AttnNorm.IN:
             return instance_norm_tokens(x)
         if self.att_norm == AttnNorm.LN:
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)(x)
         if self.att_norm == AttnNorm.BN:
-            # BatchNorm1d over channels; eval-style (running stats) is handled
-            # by the converter storing them; training uses batch stats.
-            return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                                dtype=self.dtype, name=name)(x)
+            # BatchNorm1d over (B, L) per channel (reference
+            # backbone.py:1296-1302); training uses batch stats (SyncBN
+            # semantics under a sharded jit), eval the stored running stats.
+            return nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                                momentum=0.9, dtype=self.dtype, name=name)(x)
         return x
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, l: jnp.ndarray, l_mask: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, l: jnp.ndarray, l_mask: jnp.ndarray,
+                 *, train: bool = False):
         """x: (B, L, C_v); l: (B, N_l, D_l); l_mask: (B, N_l) in {0,1}."""
         b, hw, _ = x.shape
         n_l = l.shape[1]
@@ -69,7 +71,7 @@ class SpatialImageLanguageAttention(nn.Module):
         kc, vc = self.key_channels, self.value_channels
 
         query = nn.Dense(kc, dtype=self.dtype, name="f_query")(x)
-        query = self._norm(query, "f_query_norm")
+        query = self._norm(query, "f_query_norm", train)
         key = nn.Dense(kc, dtype=self.dtype, name="f_key")(l)
         value = nn.Dense(vc, dtype=self.dtype, name="f_value")(l)
 
@@ -93,7 +95,7 @@ class SpatialImageLanguageAttention(nn.Module):
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, hw, vc)
         out = nn.Dense(self.out_channels, dtype=self.dtype, name="W")(out)
-        out = self._norm(out, "W_norm")
+        out = self._norm(out, "W_norm", train)
         return out
 
 
@@ -138,7 +140,8 @@ class PWAM(nn.Module):
                 key_channels=self.dim, value_channels=self.dim,
                 out_channels=self.dim, num_heads=self.num_heads,
                 att_norm=self.att_norm, dtype=self.dtype,
-                name="image_lang_att")(x, l, l_mask)
+                name="image_lang_att")(x, l, l_mask,
+                                       train=not deterministic)
         else:
             lang = LangProject(out_channels=self.dim, dtype=self.dtype,
                                name="image_lang_att")(x, l, l_mask)
