@@ -669,3 +669,34 @@ def convert_lts_decoder(sd: FlatDict, prefix: str = "classifier."):
     _set(params, ("head", "kernel"), _conv2d(sd[f"{p}conv1_1.weight"]))
     _set(params, ("head", "bias"), sd[f"{p}conv1_1.bias"])
     return params, stats
+
+
+def convert_lts(sd: FlatDict, cfg: ModelConfig) -> dict:
+    """Full reference `lts` checkpoint (backbone + classifier +
+    text_encoder, lib/_utils.py:248-273) -> models.lavt.LTS variables."""
+    sd = strip_prefixes(sd)
+    cls_params, cls_stats = convert_lts_decoder(sd, prefix="classifier.")
+    params = {
+        "backbone": convert_mm_swin2d(sd, cfg, prefix="backbone."),
+        "classifier": cls_params,
+        "text_encoder": convert_bert(sd, cfg.bert.num_layers,
+                                     prefix="text_encoder."),
+    }
+    return {"params": params, "batch_stats": {"classifier": cls_stats}}
+
+
+def convert_vlt(sd: FlatDict, cfg: ModelConfig, nlayers: int = 2) -> dict:
+    """Full reference `vlt` / `lavt_vlt` checkpoint
+    (lib/_utils.py:278-342) -> models.lavt.VLT variables.  The plain-Swin
+    backbone reuses convert_mm_swin2d, which skips the absent fusion/gate
+    keys for non-multimodal checkpoints."""
+    sd = strip_prefixes(sd)
+    cls_params, cls_stats = convert_vlt_decoder(sd, prefix="classifier.",
+                                                nlayers=nlayers)
+    params = {
+        "backbone": convert_mm_swin2d(sd, cfg, prefix="backbone."),
+        "classifier": cls_params,
+        "text_encoder": convert_bert(sd, cfg.bert.num_layers,
+                                     prefix="text_encoder."),
+    }
+    return {"params": params, "batch_stats": {"classifier": cls_stats}}

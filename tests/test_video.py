@@ -163,3 +163,37 @@ def test_video_frame_axis_sharding_matches_unsharded():
     got = np.asarray(jax.jit(lambda v, *a: model.apply(v, *a))(
         v8, vid8, replicate(mesh, ids), replicate(mesh, msk)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_2d3d_forward_and_language_sensitivity():
+    """--ytvos_2d_swin_3d_pwam: 2D per-frame Swin blocks + 3D SepTPWAM
+    fusion (reference lib/backbone.py:708-992). The stage output is the
+    fusion output, so logits must be language-sensitive, and the param tree
+    must contain 2D blocks (attn over (H,W) windows) inside the video
+    model."""
+    cfg = lavt_video_tiny().replace(img_size=32, max_tokens=4, num_frames=4,
+                                    hybrid_2d_3d=True)
+    cfg = cfg.replace(bert=dataclasses.replace(
+        cfg.bert, vocab_size=60, num_layers=1))
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((1, 4, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((1, 4), jnp.int32)
+    ids2 = jnp.full((1, 4), 7, jnp.int32)
+    msk = jnp.ones((1, 4), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), vid, ids, msk)
+
+    # 2D window attention: rel-pos table is (2w-1)^2 x heads, not the 3D
+    # (2wd-1)(2wh-1)(2ww-1) x heads
+    t = v["params"]["backbone"]["layers_0"]["blocks_0"]["attn"][
+        "relative_position_bias_table"]
+    w2d = cfg.swin.window_size
+    assert t.shape[0] == (2 * w2d - 1) ** 2
+
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    out = fwd(v, vid, ids, msk)
+    assert out.shape == (4, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = fwd(v, vid, ids2, msk)
+    # x_out = fusion output (language-conditioned) even with zero-init LG
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
