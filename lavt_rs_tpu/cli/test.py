@@ -33,6 +33,10 @@ def get_parser():
     p.add_argument("--save_vis", default="",
                    help="directory for mask-overlay PNG dumps (the "
                         "reference's --a2d_masks / visualization path)")
+    p.add_argument("--save_feats", default="",
+                   help="directory for decoder intermediate-feature .npz "
+                        "dumps (the reference's --save_feats path, "
+                        "test.py:121-230 / mask_predictor forward_feats)")
     p.add_argument("--synthetic", action="store_true")
     return p
 
@@ -135,7 +139,6 @@ def main(argv=None):
     if args.save_vis:
         import os
 
-        import numpy as np
         from PIL import Image
 
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -159,6 +162,37 @@ def main(argv=None):
             Image.fromarray(vis_add_mask(img, ex.target > 0, 1)).save(
                 os.path.join(args.save_vis, f"{i:05d}_gt.png"))
         print(f"saved overlays to {args.save_vis}", file=sys.stderr)
+
+    if args.save_feats:
+        import os
+
+        from ..eval.features import forward_with_features
+
+        os.makedirs(args.save_feats, exist_ok=True)
+        n = min(len(ds), args.max_items or 8, 8)
+        for i in range(n):
+            ex = ds[i]
+            ids = ex.ids if ex.ids.ndim == 2 else ex.ids[None]
+            msk = ex.mask if ex.mask.ndim == 2 else ex.mask[None]
+            _, feats = forward_with_features(
+                model, variables, jnp.asarray(ex.image[None]),
+                jnp.asarray(ids[:1].astype(np.int32)),
+                jnp.asarray(msk[:1].astype(np.int32)))
+            flat = {}
+
+            def _walk(node, path):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        _walk(v, path + (k,))
+                else:
+                    leaves = node if isinstance(node, (tuple, list)) else [node]
+                    for j, leaf in enumerate(leaves):
+                        flat["/".join(path + (str(j),))] = np.asarray(leaf)
+
+            _walk(feats, ())
+            np.savez_compressed(
+                os.path.join(args.save_feats, f"{i:05d}_feats.npz"), **flat)
+        print(f"saved decoder features to {args.save_feats}", file=sys.stderr)
 
 
 if __name__ == "__main__":
