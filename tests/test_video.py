@@ -127,15 +127,17 @@ def test_video_train_step_descends():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch["video"][:1], batch["ids"][:1],
         batch["mask"][:1])
-    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=50, epochs=1, loss="dice")
+    # lr 1e-3 makes Adam's first +-lr kicks diverge on this 2-sample toy
+    # (observed: loss climbs 0.41->0.55 and plateaus); 3e-4 descends.
+    tcfg = TrainConfig(lr=3e-4, iters_per_epoch=200, epochs=1, loss="dice")
     state, tx = create_train_state(model, variables, tcfg)
     step = jax.jit(make_video_train_step(model, tx, tcfg))
     key = jax.random.PRNGKey(0)
     losses = []
-    for _ in range(5):
+    for _ in range(12):
         state, m = step(state, batch, key)
         losses.append(float(m["loss"]))
-    assert min(losses[-2:]) < losses[0], losses
+    assert min(losses[-3:]) < losses[0], losses
 
 
 def test_video_frame_axis_sharding_matches_unsharded():
