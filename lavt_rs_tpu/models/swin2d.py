@@ -84,6 +84,33 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """Parameter container matching nn.LayerNorm's tree (scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class _MlpParams(nn.Module):
+    """Parameter container matching Mlp's tree (fc1/fc2 Dense)."""
+
+    hidden: int
+    out: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden, self.in_features, name="fc1")()
+        w2, b2 = _DenseParams(self.out, self.hidden, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class WindowAttention(nn.Module):
     """W-MSA with learned relative position bias.
 
@@ -117,10 +144,13 @@ class WindowAttention(nn.Module):
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 
-        # The fully fused kernel needs the qkv/proj weights resident in
-        # VMEM; above C=512 (Swin-B/L stage 4) that overflows the 16 MB
-        # budget, so wide stages use the attention-only kernel instead.
-        fused_ok = self.use_pallas and c <= 512
+        # The fully fused kernel needs the qkv/proj weights + f32 bias
+        # resident in VMEM; wide stages (C > 512) or huge windows (video
+        # n=1152) fall back to the attention-only kernel / XLA.
+        from ..ops.pallas.fused_msa import fused_msa_supported
+
+        fused_ok = (self.use_pallas and c <= 512
+                    and fused_msa_supported(nw, n, c, h))
         if fused_ok:
             from ..ops.pallas.fused_msa import fused_window_msa
 
@@ -203,6 +233,27 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if (
             not deterministic and self.drop_path_rate > 0) else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+
+        # Fused LN2 + MLP + residual (ops/pallas/fused_mlp.py): one HBM
+        # read + one write instead of many full-tensor passes. Only when
+        # dropout / drop-path are inactive (the stochastic ops live in the
+        # XLA path) and the fc weights fit VMEM (C <= 512).
+        # c % 128: at sub-lane-width channels (Swin-T's 96/192) the
+        # kernel is ~3x slower than XLA's fused chain (measured 2.49 vs
+        # 0.82 ms at (115200, 96)); it wins at Swin-B's 128/256/512.
+        fused_tail = (self.use_pallas and c <= 512 and c % 128 == 0 and
+                      (deterministic or
+                       (self.drop == 0.0 and self.drop_path_rate == 0.0)))
+        if fused_tail:
+            from ..ops.pallas.fused_mlp import fused_ln_mlp
+
+            scale_, bias_ = _LNParams(c, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(hidden=int(c * self.mlp_ratio),
+                                        out=c, in_features=c, name="mlp")()
+            y = fused_ln_mlp(x.reshape(b * l, c), scale_, bias_,
+                             w1, b1, w2, b2)
+            return y.reshape(b, l, c)
+
         y = Mlp(hidden=int(c * self.mlp_ratio), out=c, drop=self.drop,
                 dtype=self.dtype, name="mlp")(
                     nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

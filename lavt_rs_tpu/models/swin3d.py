@@ -65,11 +65,20 @@ class WindowAttention3D(nn.Module):
         idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
 
+        scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
+
+        # 3D uses the attention-only kernel (support-gated: window
+        # (8,12,12)'s n=1152 falls back to XLA inside window_attention).
+        # The fully fused MSA kernel LOSES here — measured on v5e, Swin-T
+        # A2D clips (window (8,7,7), b=1): fused 74.0 ms/clip vs 59.5 XLA
+        # vs 59.3 attention-only — video's small per-step GEMMs (n=392
+        # windows at c=96..384, few windows per image) don't amortize the
+        # resident-weight grid the way Swin-B's 2D shapes do.
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(b, nw, n, 3, h, c // h)
         q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3))
-        out = window_attention(q, k, v, bias, mask=mask, scale=self.qk_scale,
+        out = window_attention(q, k, v, bias, mask=mask, scale=scale,
                                use_pallas=self.use_pallas)
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -129,6 +138,11 @@ class SwinBlock3D(nn.Module):
             not deterministic and self.drop_path_rate > 0) else None
         x = shortcut + drop_path(y, self.drop_path_rate, deterministic, rng)
 
+        # NOTE: the fused LN2+MLP tail (swin2d.SwinBlock) is NOT used in
+        # 3D: measured end-to-end on v5e it LOSES at video geometries
+        # (Swin-T clips: 118.6 vs 99.7 ms/clip with only the stage-3
+        # c=384 tail active) — the 2D win comes from Swin-B's larger
+        # token counts and 128-multiple channels.
         z = Mlp(hidden=int(c * self.mlp_ratio), out=c, drop=self.drop,
                 dtype=self.dtype, name="mlp")(
                     nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

@@ -83,9 +83,29 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
 
 
+def fused_msa_supported(nw: int, n: int, c: int, heads: int,
+                        itemsize: int = 2) -> bool:
+    """Whether the fused kernel fits VMEM at all for this window geometry.
+
+    Weights (4c² resident), the f32 bias (h, n, n), and one chunk's buffers
+    must fit ~12 MB of the 16 MB scoped budget.  Video Swin with window
+    (8, 12, 12) has n=1152 — its bias alone is 15.9 MB, so those configs
+    fall back (measured OOM: 16.68M scoped at Swin-T video stage 1)."""
+    weights = 4 * c * c * itemsize
+    bias = heads * n * n * 4
+    ch1 = (n * c * itemsize + 3 * n * c * 4 + n * n * 4 + n * c * 4
+           + n * n * 4)
+    return weights + bias + 2 * ch1 <= 12 * 1024 * 1024
+
+
 def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int) -> int:
     """Largest divisor of nw whose per-step VMEM footprint stays under a
-    ~6 MB budget (16 MB VMEM minus weights, bias, and double-buffering)."""
+    ~6 MB budget (16 MB VMEM minus weights, bias, and double-buffering).
+
+    The budget is empirical: at Swin-B stage 1 (n=144, c=128) chunk 20
+    (est. ~10 MB) lands at 16.52 MB scoped-vmem — right at the 16 MB
+    limit, compiling on some runs and OOMing on others — so the budget
+    stays at 6 MB (chunk 10) for deterministic compiles."""
     best = 1
     for ch in range(1, nw + 1):
         if nw % ch:

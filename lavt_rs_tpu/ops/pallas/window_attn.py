@@ -54,10 +54,13 @@ def _fwd(q, k, v, bias, mask, scale):
     dt = q.dtype
     qs = (q * jnp.asarray(scale, dt))
 
-    # Head grouping bounds the f32 (hg, N, N) score tile in VMEM — stage 4
-    # of Swin-B has 32 heads, which overflows the 16 MB budget unsplit.
+    # Head grouping bounds the f32 (hg, N, N) score+bias tiles in VMEM
+    # (stage 4 of Swin-B has 32 heads — overflow unsplit).
+    # Splitting goes below 8 heads when windows are large (video N=392:
+    # hg=6 leaves 2x(3.7 MB) f32 tiles that double-buffer past the 16 MB
+    # scoped limit — measured 16.24M OOM).
     hg = h
-    while hg > 8 and (hg * n * n * 4) > 2 * 1024 * 1024:
+    while hg > 1 and hg % 2 == 0 and (hg * n * n * 4) > 2 * 1024 * 1024:
         hg //= 2
 
     def qkv_spec():
@@ -135,3 +138,19 @@ def window_attention_pallas(q, k, v, bias, mask=None,
     hd = q.shape[-1]
     scale = hd**-0.5 if scale is None else scale
     return _window_attention_pallas(q, k, v, bias, mask, float(scale))
+
+
+def attn_only_supported(n: int, heads: int, hd: int) -> bool:
+    """Whether the attention-only kernel fits VMEM for this window size.
+
+    The f32 bias block is (hg, n, n) after head-grouping (hg >= min(8, h));
+    video window (8, 12, 12) gives n=1152 whose bias alone is ~5-16 MB —
+    those shapes fall back to the XLA path."""
+    hg = heads
+    while hg > 1 and hg % 2 == 0 and (hg * n * n * 4) > 2 * 1024 * 1024:
+        hg //= 2
+    buf = (hg * n * n * 4          # bias block
+           + hg * n * n * 4        # f32 score tile
+           + n * n * 4             # mask block
+           + 3 * hg * n * hd * 4)  # q/k/v blocks (f32 upper bound)
+    return 2 * buf <= 9 * 1024 * 1024

@@ -45,8 +45,9 @@ def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray
 
 
 @functools.lru_cache(maxsize=64)
-def _shift_mask_2d_np(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
-    """(nW, ws*ws, ws*ws) additive mask: 0 within region, -100 across."""
+def _shift_region_ids_2d_np(hp: int, wp: int, ws: int,
+                            shift: int) -> np.ndarray:
+    """(nW, ws*ws) int32 region ids of each windowed token."""
     img = np.zeros((hp, wp), dtype=np.int32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -55,16 +56,26 @@ def _shift_mask_2d_np(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
             cnt += 1
     # partition into windows
     img = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
-    img = img.reshape(-1, ws * ws)  # (nW, N)
-    diff = img[:, None, :] - img[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return np.ascontiguousarray(img.reshape(-1, ws * ws))  # (nW, N)
+
+
+def _ids_to_mask(ids: np.ndarray) -> jnp.ndarray:
+    """(nW, N) region ids -> (nW, N, N) additive mask, built ON DEVICE.
+
+    Baking the full mask as an HLO literal is fine in 2D but fatal in 3D:
+    at 480² video the (324, 392, 392) f32 constant is ~199 MB and the
+    compile request itself blows up.  Only the ids are a constant; the
+    0/-100 comparison is a traced (fused/cheap) op."""
+    idj = jnp.asarray(ids)
+    return jnp.where(idj[:, None, :] != idj[:, :, None], -100.0,
+                     0.0).astype(jnp.float32)
 
 
 def shift_mask_2d(hp: int, wp: int, ws: int, shift: int) -> Optional[jnp.ndarray]:
     """Additive SW-MSA mask for padded size (hp, wp); None when shift == 0."""
     if shift == 0:
         return None
-    return jnp.asarray(_shift_mask_2d_np(hp, wp, ws, shift))
+    return _ids_to_mask(_shift_region_ids_2d_np(hp, wp, ws, shift))
 
 
 @functools.lru_cache(maxsize=64)
@@ -124,8 +135,9 @@ def get_window_size_3d(input_size: Sequence[int], window_size: Sequence[int],
 
 
 @functools.lru_cache(maxsize=64)
-def _shift_mask_3d_np(dp: int, hp: int, wp: int, ws: Tuple[int, int, int],
-                      ss: Tuple[int, int, int]) -> np.ndarray:
+def _shift_region_ids_3d_np(dp: int, hp: int, wp: int,
+                            ws: Tuple[int, int, int],
+                            ss: Tuple[int, int, int]) -> np.ndarray:
     img = np.zeros((dp, hp, wp), dtype=np.int32)
     cnt = 0
     for d in (slice(0, -ws[0]), slice(-ws[0], -ss[0]) if ss[0] else slice(-ws[0], None),
@@ -145,15 +157,14 @@ def _shift_mask_3d_np(dp: int, hp: int, wp: int, ws: Tuple[int, int, int],
     wd, wh, ww = ws
     img = img.reshape(dp // wd, wd, hp // wh, wh, wp // ww, ww)
     img = img.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
-    diff = img[:, None, :] - img[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return np.ascontiguousarray(img)
 
 
 def shift_mask_3d(dp: int, hp: int, wp: int, ws, ss) -> Optional[jnp.ndarray]:
     ws, ss = tuple(int(v) for v in ws), tuple(int(v) for v in ss)
     if not any(ss):
         return None
-    return jnp.asarray(_shift_mask_3d_np(dp, hp, wp, ws, ss))
+    return _ids_to_mask(_shift_region_ids_3d_np(dp, hp, wp, ws, ss))
 
 
 @functools.lru_cache(maxsize=16)

@@ -1,0 +1,93 @@
+"""Fused LN->MLP->residual Pallas kernel vs the XLA reference, plus the
+SwinBlock tail path (same parameter tree both ways)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from lavt_rs_tpu.ops.pallas.fused_mlp import _ref_forward, fused_ln_mlp
+
+
+def test_fused_ln_mlp_matches_ref(rng):
+    m, c, hidden = 48, 32, 128
+    x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * .1)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * .1)
+    b2 = jnp.asarray(rng.standard_normal(c).astype(np.float32) * .1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_ln_mlp(x, g, be, w1, b1, w2, b2)
+    want = _ref_forward(x, g, be, w1, b1, w2, b2).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ln_mlp_grads(rng):
+    m, c, hidden = 16, 16, 32
+    x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    g = jnp.ones((c,))
+    be = jnp.zeros((c,))
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * .2)
+    b1 = jnp.zeros((hidden,))
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * .2)
+    b2 = jnp.zeros((c,))
+
+    def loss_p(x, g, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_ln_mlp(x, g, be, w1, b1, w2, b2) ** 2).sum()
+
+    def loss_r(x, g, w1, w2):
+        return (_ref_forward(x, g, be, w1, b1, w2, b2).astype(x.dtype)
+                ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, g, w1, w2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, g, w1, w2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_swin_block_fused_tail_matches_xla(rng):
+    """SwinBlock with use_pallas (fused MSA + fused LN/MLP tail) equals the
+    XLA block on the same variables."""
+    from lavt_rs_tpu.models.swin2d import SwinBlock
+
+    dim, heads, ws, H, W, B = 32, 4, 4, 8, 8, 2
+    x = jnp.asarray(rng.standard_normal((B, H * W, dim)).astype(np.float32))
+    blk_x = SwinBlock(dim=dim, num_heads=heads, window_size=ws, shift_size=2)
+    v = blk_x.init(jax.random.PRNGKey(0), x, (H, W))
+    want = blk_x.apply(v, x, (H, W))
+    blk_p = SwinBlock(dim=dim, num_heads=heads, window_size=ws, shift_size=2,
+                      use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = blk_p.apply(v, x, (H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # and init in the fused path yields the same tree as the XLA path
+    with pltpu.force_tpu_interpret_mode():
+        v_p = blk_p.init(jax.random.PRNGKey(0), x, (H, W))
+    assert (jax.tree_util.tree_structure(v_p)
+            == jax.tree_util.tree_structure(v))
+
+
+def test_swin_block3d_pallas_matches_xla(rng):
+    """SwinBlock3D with use_pallas (fused MSA + fused tail) equals the XLA
+    block on the same variables, including a clamped window + shift."""
+    from lavt_rs_tpu.models.swin3d import SwinBlock3D
+
+    dim, heads = 32, 4
+    x = jnp.asarray(rng.standard_normal((1, 3, 8, 8, dim)).astype(np.float32))
+    blk_x = SwinBlock3D(dim=dim, num_heads=heads, window_size=(8, 4, 4),
+                        shift_size=(4, 2, 2))
+    v = blk_x.init(jax.random.PRNGKey(0), x)
+    want = blk_x.apply(v, x)
+    blk_p = SwinBlock3D(dim=dim, num_heads=heads, window_size=(8, 4, 4),
+                        shift_size=(4, 2, 2), use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = blk_p.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
