@@ -366,19 +366,54 @@ def _vjp_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
 
 
 def _vjp_bwd(heads, scale, res, g):
+    """Decomposed backward: the qkv/out projections and their weight grads
+    are plain XLA GEMMs (MXU-bound, cheap), while the attention core —
+    whose XLA backward materializes two (B, nW, h, N, N) score tensors in
+    HBM — runs in the attention_core_bwd Pallas kernel, which recomputes
+    probs in VMEM and also returns the recomputed attention output for the
+    out-projection weight grad.  The mask cotangent is identically zero
+    (the shift mask is a function of integer region ids)."""
+    from .window_attn import attention_core_bwd
+
     x, wqkv, bqkv, wproj, bproj, bias, mask = res
+    b, nw, n, c = x.shape
+    hd = c // heads
+    f32 = jnp.float32
+    xf = x.astype(f32)
 
-    def f(x, wqkv, bqkv, wproj, bproj, bias, mask):
-        return _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                            heads, scale)
+    # recompute q/k/v (one GEMM) in the (3, h, hd) lane layout
+    qkv = jnp.einsum("bwnc,cd->bwnd", xf, wqkv.astype(f32)) + bqkv
+    qkv = qkv.reshape(b, nw, n, 3, heads, hd)
+    q = qkv[..., 0, :, :].transpose(0, 1, 3, 2, 4)
+    k = qkv[..., 1, :, :].transpose(0, 1, 3, 2, 4)
+    v = qkv[..., 2, :, :].transpose(0, 1, 3, 2, 4)
 
-    _, vjp = jax.vjp(f, x, wqkv, bqkv, wproj, bproj, bias, mask)
-    dx, dwqkv, dbqkv, dwproj, dbproj, dbias, dmask = vjp(
-        g.astype(jnp.float32))
+    gf = g.astype(f32)
+    dattn = jnp.einsum("bwnd,cd->bwnc", gf, wproj.astype(f32))
+    do = dattn.reshape(b, nw, n, heads, hd).transpose(0, 1, 3, 2, 4)
+
+    dq, dk, dv, dbias, o = attention_core_bwd(
+        q.astype(f32), k.astype(f32), v.astype(f32), bias, mask,
+        do.astype(f32), float(scale))
+
+    attn_out = o.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+    dwproj = jnp.einsum("bwnc,bwnd->cd", attn_out.astype(f32), gf)
+    dbproj = gf.sum((0, 1, 2))
+
+    def merge(t):  # (b, nw, h, n, hd) -> (b, nw, n, c)
+        return t.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+
+    dqkv = jnp.concatenate(
+        [merge(dq.astype(f32)), merge(dk.astype(f32)),
+         merge(dv.astype(f32))], axis=-1)  # same (3, h, hd) lane order
+    dx = jnp.einsum("bwnd,cd->bwnc", dqkv, wqkv.astype(f32))
+    dwqkv = jnp.einsum("bwnc,bwnd->cd", xf, dqkv)
+    dbqkv = dqkv.sum((0, 1, 2))
+
     return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
             dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
             dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
-            None if mask is None else dmask.astype(mask.dtype))
+            None if mask is None else jnp.zeros_like(mask))
 
 
 fused_window_msa.defvjp(_vjp_fwd, _vjp_bwd)

@@ -154,3 +154,123 @@ def attn_only_supported(n: int, heads: int, hd: int) -> bool:
            + n * n * 4             # mask block
            + 3 * hg * n * hd * 4)  # q/k/v blocks (f32 upper bound)
     return 2 * buf <= 9 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Attention-core backward kernel (used by fused_msa's VJP)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, o_ref, *, scale: float):
+    """One (head-group, batch, window) step: recompute scores/probs in VMEM
+    and emit dq/dk/dv, the accumulated dbias, and the recomputed attention
+    output o (so the caller's projection grads need no second pass)."""
+    g_idx = pl.program_id(0)
+    i_idx = pl.program_id(1)
+    j_idx = pl.program_id(2)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (hg, N, hd)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[...].astype(jnp.float32)
+    if mask_ref is not None:
+        s = s + mask_ref[0].astype(jnp.float32)[None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (hg, N, N)
+
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+    # dv[m, d] = sum_r p[r, m] * do[r, d]
+    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    # dk[m, d] = sum_r ds[r, m] * (q*scale)[r, d]
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+
+    # dbias accumulates over all (batch, window) steps of this head group;
+    # the group dim is OUTERMOST so visits are consecutive and Mosaic keeps
+    # the block resident.
+    @pl.when(jnp.logical_and(i_idx == 0, j_idx == 0))
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dbias_ref[...] += ds.astype(dbias_ref.dtype)
+
+
+def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
+    """Backward of softmax(q·kᵀ·scale + bias + mask)·v, fully in VMEM.
+
+    q/k/v/do: (B, nW, h, N, hd); bias (h, N, N); mask (nW, N, N) or None.
+    Returns (dq, dk, dv, dbias, o) — o is the recomputed attention output.
+    The mask cotangent is identically zero for the model (the shift mask is
+    a function of integer region ids), so it is not computed.
+    """
+    b, nw, h, n, hd = q.shape
+    dt = q.dtype
+
+    hg = h
+    while hg > 1 and hg % 2 == 0 and (4 * hg * n * n * 4) > 3 * 1024 * 1024:
+        hg //= 2
+
+    def qkv_spec():
+        return pl.BlockSpec((1, 1, hg, n, hd),
+                            lambda g, i, j: (i, j, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [qkv_spec(), qkv_spec(), qkv_spec(),
+                pl.BlockSpec((hg, n, n), lambda g, i, j: (g, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, bias]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda g, i, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+        kernel = functools.partial(_bwd_kernel, scale=scale)
+    else:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, dbias_ref, o_ref):
+            _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, None, do_ref,
+                        dq_ref, dk_ref, dv_ref, dbias_ref, o_ref,
+                        scale=scale)
+    in_specs.append(qkv_spec())  # do
+    args.append(do)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),   # dq
+        jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),   # dk
+        jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),   # dv
+        jax.ShapeDtypeStruct((h, n, n), jnp.float32),  # dbias
+        jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),   # o
+    ]
+    out_specs = [qkv_spec(), qkv_spec(), qkv_spec(),
+                 pl.BlockSpec((hg, n, n), lambda g, i, j: (g, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 qkv_spec()]
+    flops = 5 * 2 * b * nw * h * n * n * hd
+    return pl.pallas_call(
+        kernel,
+        grid=(h // hg, b, nw),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b * nw * h * n * n,
+            bytes_accessed=q.size * q.dtype.itemsize * 8),
+    )(*args)
