@@ -236,22 +236,32 @@ class SwinBlock(nn.Module):
 
         # Fused LN2 + MLP + residual (ops/pallas/fused_mlp.py): one HBM
         # read + one write instead of many full-tensor passes. Only when
-        # dropout / drop-path are inactive (the stochastic ops live in the
-        # XLA path) and the fc weights fit VMEM (C <= 512).
+        # MLP dropout is inactive (true dropout lives in the XLA path) and
+        # the fc weights fit VMEM (C <= 512); DropPath is handled in-kernel
+        # via a per-sample SMEM scale so the training forward stays fused.
         # c % 128: at sub-lane-width channels (Swin-T's 96/192) the
         # kernel is ~3x slower than XLA's fused chain (measured 2.49 vs
         # 0.82 ms at (115200, 96)); it wins at Swin-B's 128/256/512.
         fused_tail = (self.use_pallas and c <= 512 and c % 128 == 0 and
-                      (deterministic or
-                       (self.drop == 0.0 and self.drop_path_rate == 0.0)))
+                      (deterministic or self.drop == 0.0))
         if fused_tail:
-            from ..ops.pallas.fused_mlp import fused_ln_mlp
-
             scale_, bias_ = _LNParams(c, name="norm2")()
             w1, b1, w2, b2 = _MlpParams(hidden=int(c * self.mlp_ratio),
                                         out=c, in_features=c, name="mlp")()
-            y = fused_ln_mlp(x.reshape(b * l, c), scale_, bias_,
-                             w1, b1, w2, b2)
+            if deterministic or self.drop_path_rate == 0.0:
+                from ..ops.pallas.fused_mlp import fused_ln_mlp
+
+                y = fused_ln_mlp(x.reshape(b * l, c), scale_, bias_,
+                                 w1, b1, w2, b2)
+            else:
+                from ..ops.pallas.fused_mlp import fused_ln_mlp_droppath
+
+                keep_prob = 1.0 - self.drop_path_rate
+                bern = jax.random.bernoulli(self.make_rng("dropout"),
+                                            keep_prob, (b,))
+                keep = jnp.where(bern, 1.0 / keep_prob, 0.0)
+                y = fused_ln_mlp_droppath(x.reshape(b * l, c), scale_,
+                                          bias_, w1, b1, w2, b2, keep, l)
             return y.reshape(b, l, c)
 
         y = Mlp(hidden=int(c * self.mlp_ratio), out=c, drop=self.drop,

@@ -7,10 +7,14 @@ activation plus a 236 MB fc1 intermediate in HBM.  This kernel keeps the
 (chunk, 4C) hidden activation in VMEM: the activation is read once and the
 result written once.
 
-Used for the SwinBlock tail when dropout/drop-path are inactive (inference,
-or training with rates 0); the dropout path falls back to XLA.  Weights are
-VMEM-resident via constant index maps, so the kernel is limited to C <= 512
-(Swin-B stage 4's C=1024 needs 16 MB of fc weights alone).
+Used for the SwinBlock tail when MLP dropout is inactive (inference, or
+training with drop_rate 0 — the LAVT default); true dropout falls back to
+XLA.  DropPath (stochastic depth) IS supported in-kernel: the per-sample
+keep/scale vector sits in SMEM and each grid chunk scales its MLP branch by
+its sample's factor before the residual add (fused_ln_mlp_droppath), so the
+training forward keeps the single-HBM-pass tail.  Weights are VMEM-resident
+via constant index maps, so the kernel is limited to C <= 512 (Swin-B stage
+4's C=1024 needs 16 MB of fc weights alone).
 
 Backward: recompute-based custom VJP in XLA (same pattern as fused_msa).
 """
@@ -45,7 +49,8 @@ def _erf(x):
     return s * y
 
 
-def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+            *, keep_ref=None):
     x = x_ref[...]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -62,15 +67,22 @@ def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     y = jnp.dot(h.astype(x.dtype), w2_ref[...],
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)[None]
+    if keep_ref is not None:
+        # DropPath: per-row keep/scale factors, an (tc, 1) f32 block
+        # broadcast over channels.
+        y = y * keep_ref[...]
     out_ref[...] = (xf + y).astype(out_ref.dtype)
 
 
 def _pick_rows(m: int, c: int, hidden: int, itemsize: int) -> int:
     """Largest divisor of m whose footprint (x + xn + h f32 + out, double-
-    buffered x/out) fits a ~6 MB budget."""
+    buffered x/out) fits a ~6 MB budget.
+
+    Sub-full blocks must have a sublane dim divisible by 8 (Mosaic (8, 128)
+    tiling)."""
     best = 1
     for tc in range(1, min(m, 2048) + 1):
-        if m % tc:
+        if m % tc or (tc != m and tc % 8):
             continue
         buf = (2 * tc * c * itemsize      # x + out (double-buffered pair)
                + tc * c * 4               # xn f32
@@ -81,7 +93,7 @@ def _pick_rows(m: int, c: int, hidden: int, itemsize: int) -> int:
     return best
 
 
-def _fwd(x, g, be, w1, b1, w2, b2):
+def _fwd(x, g, be, w1, b1, w2, b2, keep_rows=None):
     m, c = x.shape
     hidden = w1.shape[1]
     dt = x.dtype
@@ -91,15 +103,29 @@ def _fwd(x, g, be, w1, b1, w2, b2):
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tc, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(g), const(be), const(w1c), const(b1), const(w2c),
+        const(b2),
+    ]
+    args = [x, g, be, w1c, b1, w2c, b2]
+    if keep_rows is None:
+        kernel = _kernel
+    else:
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(keep_rows)
+
+        def kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   keep_ref, out_ref):
+            _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    out_ref, keep_ref=keep_ref)
+
     flops = 2 * m * c * hidden * 2
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(m // tc,),
-        in_specs=[
-            pl.BlockSpec((tc, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const(g), const(be), const(w1c), const(b1), const(w2c),
-            const(b2),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tc, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c), dt),
@@ -107,7 +133,7 @@ def _fwd(x, g, be, w1, b1, w2, b2):
             flops=flops, transcendentals=m * hidden,
             bytes_accessed=2 * m * c * jnp.dtype(dt).itemsize
             + (w1.size + w2.size) * 2),
-    )(x, g, be, w1c, b1, w2c, b2)
+    )(*args)
 
 
 def _ref_forward(x, g, be, w1, b1, w2, b2):
@@ -136,6 +162,14 @@ def _vjp_fwd(x, g, be, w1, b1, w2, b2):
 def _vjp_bwd(res, gr):
     x, g, be, w1, b1, w2, b2 = res
 
+    if fused_ln_mlp_bwd_supported(x.shape[0], x.shape[1], w1.shape[1],
+                                  jnp.dtype(x.dtype).itemsize):
+        dx, dg, dbe, dw1, db1, dw2, db2 = _bwd(x, gr, g, be, w1, b1, w2,
+                                               None)
+        return (dx.astype(x.dtype), dg.astype(g.dtype), dbe.astype(be.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
     def f(x, g, be, w1, b1, w2, b2):
         return _ref_forward(x, g, be, w1, b1, w2, b2).astype(x.dtype)
 
@@ -144,3 +178,193 @@ def _vjp_bwd(res, gr):
 
 
 fused_ln_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _bwd_kernel(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                keep_ref, dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref,
+                dg_ref, dbe_ref):
+    """Fused backward of LN -> fc1 -> GELU -> fc2 -> (droppath) residual:
+    recomputes the forward in VMEM per chunk (the (tc, hidden) activation
+    never touches HBM) and accumulates all weight/bias/LN grads in VMEM
+    across the sequential grid."""
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[...]
+    dt = x.dtype
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mu) * rstd
+    gv = g_ref[...].astype(f32)[None]
+    xn = xhat * gv + be_ref[...].astype(f32)[None]
+    xn_c = xn.astype(dt)
+    hpre = jnp.dot(xn_c, w1_ref[...], preferred_element_type=f32)
+    hpre = hpre + b1_ref[...].astype(f32)[None]
+    cdf = 0.5 * (1.0 + _erf(hpre * (2.0 ** -0.5)))
+    h = hpre * cdf
+
+    gy = gy_ref[...].astype(f32)
+    dmlp = gy * keep_ref[...] if keep_ref is not None else gy
+    dmlp_c = dmlp.astype(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+
+    rowsT = (((0,), (0,)), ((), ()))  # a^T @ b over rows
+    laneT = (((1,), (1,)), ((), ()))  # a @ b^T over lanes
+    db2_ref[...] += dmlp.sum(0)[None]
+    dw2_ref[...] += jax.lax.dot_general(h.astype(dt), dmlp_c, rowsT,
+                                        preferred_element_type=f32)
+    dh = jax.lax.dot_general(dmlp_c, w2_ref[...], laneT,
+                             preferred_element_type=f32)
+    pdf = jnp.exp(-0.5 * hpre * hpre) * 0.3989422804014327
+    dhpre = dh * (cdf + hpre * pdf)
+    dhpre_c = dhpre.astype(dt)
+    db1_ref[...] += dhpre.sum(0)[None]
+    dw1_ref[...] += jax.lax.dot_general(xn_c, dhpre_c, rowsT,
+                                        preferred_element_type=f32)
+    dyln = jax.lax.dot_general(dhpre_c, w1_ref[...], laneT,
+                               preferred_element_type=f32)
+    dg_ref[...] += (dyln * xhat).sum(0)[None]
+    dbe_ref[...] += dyln.sum(0)[None]
+    dxhat = dyln * gv
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = (gy + dx_ln).astype(dx_ref.dtype)
+
+
+def _pick_rows_bwd(m: int, c: int, hidden: int, itemsize: int) -> int:
+    """Row-chunk chooser for the backward kernel (~10 MB minus the
+    VMEM-resident weights and grad accumulators)."""
+    fixed = 2 * c * hidden * (itemsize + 4)
+    best = 0
+    for tc in range(8, min(m, 2048) + 1, 8):
+        if m % tc:
+            continue
+        buf = (3 * tc * c * itemsize        # x + gy + dx blocks
+               + 6 * tc * c * 4             # xf/xhat/xn/dyln/dxhat/dmlp f32
+               + 4 * tc * hidden * 4)       # hpre/h/dh/dhpre f32
+        if fixed + buf <= 10 * 1024 * 1024:
+            best = tc
+    return best
+
+
+def fused_ln_mlp_bwd_supported(m: int, c: int, hidden: int,
+                               itemsize: int = 2) -> bool:
+    return _pick_rows_bwd(m, c, hidden, itemsize) >= 8
+
+
+def _bwd(x, gy, g, be, w1, b1, w2, keep_rows):
+    m, c = x.shape
+    hidden = w1.shape[1]
+    dt = x.dtype
+    w1c = w1.astype(dt)
+    w2c = w2.astype(dt)
+    tc = _pick_rows_bwd(m, c, hidden, jnp.dtype(dt).itemsize)
+    f32 = jnp.float32
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((tc, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [blk, blk, const(g), const(be), const(w1c), const(b1),
+                const(w2c)]
+    args = [x, gy, g, be, w1c, b1, w2c]
+    if keep_rows is not None:
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(keep_rows)
+        kernel = _bwd_kernel
+    else:
+        def kernel(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                   *out_refs):
+            _bwd_kernel(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref,
+                        w2_ref, None, *out_refs)
+
+    cc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                  memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((m, c), dt),            # dx
+        jax.ShapeDtypeStruct((c, hidden), f32),      # dw1
+        jax.ShapeDtypeStruct((hidden, c), f32),      # dw2
+        jax.ShapeDtypeStruct((1, hidden), f32),      # db1
+        jax.ShapeDtypeStruct((1, c), f32),           # db2
+        jax.ShapeDtypeStruct((1, c), f32),           # dg
+        jax.ShapeDtypeStruct((1, c), f32),           # dbe
+    ]
+    out_specs = [blk, cc((c, hidden)), cc((hidden, c)), cc((1, hidden)),
+                 cc((1, c)), cc((1, c)), cc((1, c))]
+    flops = 2 * m * c * hidden * 6
+    outs = pl.pallas_call(
+        kernel,
+        grid=(m // tc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=3 * m * hidden,
+            bytes_accessed=3 * m * c * jnp.dtype(dt).itemsize
+            + (w1.size + w2.size) * 2),
+    )(*args)
+    dx, dw1, dw2, db1, db2, dg, dbe = outs
+    return dx, dg[0], dbe[0], dw1, db1[0], dw2, db2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_ln_mlp_droppath(x, g, be, w1, b1, w2, b2, keep, rows: int):
+    """DropPath variant: x (M, C) with M = B * rows tokens grouped by
+    sample; keep (B,) f32 per-sample branch scale (0 or 1/keep_prob).
+    Returns x + keep[sample] * fc2(gelu(fc1(LN(x))))."""
+    keep_rows = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
+    return _fwd(x, g, be, w1, b1, w2, b2, keep_rows)
+
+
+def _ref_forward_droppath(x, g, be, w1, b1, w2, b2, keep, rows):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + _EPS)
+    xn = xn * g.astype(jnp.float32) + be.astype(jnp.float32)
+    h = xn.astype(x.dtype).astype(jnp.float32) @ w1.astype(jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    y = h.astype(x.dtype).astype(jnp.float32) @ w2.astype(jnp.float32) + b2
+    s = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
+    return xf + s * y
+
+
+def _vjp_fwd_dp(x, g, be, w1, b1, w2, b2, keep, rows):
+    keep_rows = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
+    return _fwd(x, g, be, w1, b1, w2, b2, keep_rows), (
+        x, g, be, w1, b1, w2, b2, keep)
+
+
+def _vjp_bwd_dp(rows, res, gr):
+    x, g, be, w1, b1, w2, b2, keep = res
+
+    if fused_ln_mlp_bwd_supported(x.shape[0], x.shape[1], w1.shape[1],
+                                  jnp.dtype(x.dtype).itemsize):
+        keep_rows = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
+        dx, dg, dbe, dw1, db1, dw2, db2 = _bwd(x, gr, g, be, w1, b1, w2,
+                                               keep_rows)
+        return (dx.astype(x.dtype), dg.astype(g.dtype), dbe.astype(be.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype),
+                jnp.zeros_like(keep))
+
+    def f(x, g, be, w1, b1, w2, b2):
+        return _ref_forward_droppath(x, g, be, w1, b1, w2, b2, keep,
+                                     rows).astype(x.dtype)
+
+    _, vjp = jax.vjp(f, x, g, be, w1, b1, w2, b2)
+    # keep is a Bernoulli draw — no useful cotangent.
+    return vjp(gr) + (jnp.zeros_like(keep),)
+
+
+fused_ln_mlp_droppath.defvjp(_vjp_fwd_dp, _vjp_bwd_dp)

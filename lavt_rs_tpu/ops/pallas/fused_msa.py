@@ -83,6 +83,282 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
 
 
+def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                bv_ref, wp_ref, bias_ref, mask_ref,
+                dx_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
+                dbq_ref, dbk_ref, dbv_ref, dbp_ref, dbias_ref, *,
+                heads: int, scale: float):
+    """Fully fused MSA backward: recompute qkv + probs per chunk in VMEM,
+    emit dx blocks, and accumulate every weight/bias/bias-table grad in
+    VMEM across the sequential grid (constant-index-map outputs).
+
+    Everything stays in the merged (rows, C) lane layout — per-head views
+    are static lane slices, exactly like the forward kernel — so the
+    backward needs NO (B, nW, h, N, hd) transposes in XLA at all (the
+    previous decomposed backward spent ~40 ms/step on layout copies at
+    Swin-B bs 8).
+
+    The call may cover a SUBSET of heads (head-group splitting, see
+    _fused_bwd): the q/k/v weights then have cq = heads*hd < C columns,
+    which shrinks both the VMEM-resident weights and the grad accumulators
+    so wider stages (Swin-B stage 3, C=512/16 heads) still get multi-window
+    chunks instead of a latency-bound chunk-of-1 grid."""
+    ch, n, c = x_ref.shape
+    cq = wq_ref.shape[1]
+    hd = cq // heads
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[...].reshape(ch * n, c)
+    gy = g_ref[...].reshape(ch * n, c).astype(f32)
+    gyc = gy.astype(x.dtype)
+
+    # recompute projections (same math/casting as the forward kernel)
+    q_all = jnp.dot(x, wq_ref[...], preferred_element_type=f32)
+    q_all = (q_all + bq_ref[...].astype(f32)[None]) * scale
+    k_all = jnp.dot(x, wk_ref[...], preferred_element_type=f32)
+    k_all = (k_all + bk_ref[...].astype(f32)[None]).astype(x.dtype)
+    v_all = jnp.dot(x, wv_ref[...], preferred_element_type=f32)
+    v_all = (v_all + bv_ref[...].astype(f32)[None]).astype(x.dtype)
+
+    # do (merged heads) = gy @ wp^T
+    dattn = jax.lax.dot_general(gyc, wp_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+
+    @pl.when(i == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dx = jnp.zeros((ch * n, c), f32)
+    rowsT = (((0,), (0,)), ((), ()))          # a^T @ b over rows
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_all[:, sl].astype(x.dtype).reshape(ch, n, hd)
+        k = k_all[:, sl].reshape(ch, n, hd)
+        v = v_all[:, sl].reshape(ch, n, hd)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        s = s + bias_ref[h].astype(f32)[None]
+        if mask_ref is not None:
+            s = s + mask_ref[...].astype(f32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # (ch, n, n) f32
+        pc = p.astype(x.dtype)
+
+        do_h = dattn[:, sl].astype(x.dtype).reshape(ch, n, hd)
+        # o_h for the out-projection weight grad: dwp[sl] += o_h^T @ gy
+        o_h = jax.lax.dot_general(pc, v, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        dwp_ref[sl, :] += jax.lax.dot_general(
+            o_h.astype(x.dtype).reshape(ch * n, hd), gyc, rowsT,
+            preferred_element_type=f32)
+
+        # dv = p^T @ do ; dp = do @ v^T ; ds = p*(dp - rowsum(dp*p))
+        dv_h = jax.lax.dot_general(pc, do_h, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+        dp = jax.lax.dot_general(do_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += ds.sum(0)
+        dsc = ds.astype(x.dtype)
+
+        # dq (pre-scale) and dk chains
+        dq_h = jax.lax.dot_general(dsc, k, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32) * scale
+        dk_h = jax.lax.dot_general(dsc, q, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+        for d_h, w_ref, dw_ref, db_ref in (
+                (dq_h, wq_ref, dwq_ref, dbq_ref),
+                (dk_h, wk_ref, dwk_ref, dbk_ref),
+                (dv_h, wv_ref, dwv_ref, dbv_ref)):
+            d_flat = d_h.reshape(ch * n, hd)
+            dc = d_flat.astype(x.dtype)
+            dx = dx + jax.lax.dot_general(
+                dc, w_ref[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dw_ref[:, sl] += jax.lax.dot_general(
+                x, dc, rowsT, preferred_element_type=f32)
+            db_ref[:, sl] += d_flat.sum(0)[None]
+
+    dbp_ref[...] += gy.sum(0)[None]
+    dx_ref[...] = dx.reshape(ch, n, c).astype(dx_ref.dtype)
+
+
+def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
+                    itemsize: int) -> int:
+    """Chunk chooser for the backward kernel: fixed VMEM (weights, grad
+    accumulators, bias + dbias) plus per-chunk buffers under ~10 MB.
+    cq = heads*hd is the q/k/v width covered by this call (== c without
+    head-group splitting)."""
+    fixed = ((3 * c * cq + cq * c) * itemsize   # wq/wk/wv + wp
+             + (3 * c * cq + cq * c) * 4        # their f32 grad accumulators
+             + 2 * heads * n * n * 4)           # bias + dbias
+    best = 0
+    for ch in range(1, nw + 1):
+        if nw % ch:
+            continue
+        buf = (ch * n * c * itemsize * 2     # x + dx blocks
+               + ch * n * c * 4              # gy f32
+               + ch * n * cq * 4             # dattn f32
+               + 3 * ch * n * cq * 4         # q/k/v (f32 pre-cast peak)
+               + ch * n * c * 4              # dx accumulator f32
+               + 4 * ch * n * n * 4          # s/p/dp/ds tiles (one head)
+               + ch * n * n * 4)             # mask block
+        if fixed + buf <= 10 * 1024 * 1024:
+            best = ch
+    return best
+
+
+def _pick_head_groups(nw: int, n: int, c: int, heads: int,
+                      itemsize: int):
+    """Head-group count G (1/2/4) and chunk size for the fused backward.
+    Splitting heads shrinks the per-call weights + grad accumulators, so
+    wider stages trade G× extra x/gy reads for multi-window chunks (fewer,
+    fatter grid steps). Picks the G with the best chunk-per-read ratio;
+    None if nothing fits."""
+    best = None
+    for g_count in (1, 2, 4):
+        if heads % g_count:
+            continue
+        cq = (heads // g_count) * (c // heads)
+        ch = _pick_chunk_bwd(nw, n, c, cq, heads // g_count, itemsize)
+        if ch >= 1 and (best is None or ch / g_count > best[2]):
+            best = (g_count, ch, ch / g_count)
+    if best is None:
+        return None
+    return best[0], best[1]
+
+
+def fused_msa_bwd_supported(nw: int, n: int, c: int, heads: int,
+                            itemsize: int = 2) -> bool:
+    return _pick_head_groups(nw, n, c, heads, itemsize) is not None
+
+
+def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
+    """Assembler: optionally split heads into G groups, run the fused
+    backward kernel per group on its weight/bias slices, and stitch the
+    grads back together (dx sums over groups; dbproj comes from group 0)."""
+    b, nw, n, c = x.shape
+    dt = x.dtype
+    g_count, _ = _pick_head_groups(nw, n, c, heads,
+                                   jnp.dtype(dt).itemsize)
+    hd = c // heads
+    hpg = heads // g_count
+    w = hpg * hd  # q/k/v columns per group
+
+    dx = None
+    dwq_p, dwk_p, dwv_p, dwp_p = [], [], [], []
+    dbq_p, dbk_p, dbv_p, dbias_p = [], [], [], []
+    dbp = None
+    for gi in range(g_count):
+        sl = slice(gi * w, (gi + 1) * w)
+        wqkv_g = jnp.concatenate(
+            [wqkv[:, sl], wqkv[:, c:][:, sl], wqkv[:, 2 * c:][:, sl]],
+            axis=1)
+        bqkv_g = jnp.concatenate([bqkv[sl], bqkv[c:][sl], bqkv[2 * c:][sl]])
+        outs = _fused_bwd_group(x, wqkv_g, bqkv_g, wproj[sl, :],
+                                bias[gi * hpg:(gi + 1) * hpg], mask, g,
+                                hpg, scale)
+        dx_g, dwq, dwk, dwv, dwp, dbq, dbk, dbv, dbp_g, dbias = outs
+        dx = dx_g if dx is None else dx + dx_g
+        dwq_p.append(dwq)
+        dwk_p.append(dwk)
+        dwv_p.append(dwv)
+        dwp_p.append(dwp)
+        dbq_p.append(dbq[0])
+        dbk_p.append(dbk[0])
+        dbv_p.append(dbv[0])
+        dbias_p.append(dbias)
+        if dbp is None:
+            dbp = dbp_g[0]
+    dwqkv = jnp.concatenate(
+        [jnp.concatenate(dwq_p, axis=1), jnp.concatenate(dwk_p, axis=1),
+         jnp.concatenate(dwv_p, axis=1)], axis=1)
+    dbqkv = jnp.concatenate(dbq_p + dbk_p + dbv_p)
+    dwproj = jnp.concatenate(dwp_p, axis=0)
+    dbias = jnp.concatenate(dbias_p, axis=0)
+    return dx, dwqkv, dbqkv, dwproj, dbp, dbias
+
+
+def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
+    """One head-group backward call. wqkv_g: (C, 3*cq); wp_g: (cq, C);
+    bias: (heads, N, N) for this group's heads. Returns per-part grads."""
+    b, nw, n, c = x.shape
+    dt = x.dtype
+    cq = wqkv_g.shape[1] // 3
+    wqc = wqkv_g.astype(dt)
+    wq, wk, wv = wqc[:, :cq], wqc[:, cq:2 * cq], wqc[:, 2 * cq:]
+    bq, bk, bv = bqkv_g[:cq], bqkv_g[cq:2 * cq], bqkv_g[2 * cq:]
+    wp = wp_g.astype(dt)
+    ch = _pick_chunk_bwd(nw, n, c, cq, heads, jnp.dtype(dt).itemsize)
+    m = b * nw
+    xm = x.reshape(m, n, c)
+    gm = g.reshape(m, n, c)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [blk, blk, const(wq), const(wk), const(wv), const(bq),
+                const(bk), const(bv), const(wp), const(bias)]
+    args = [xm, gm, wq, wk, wv, bq, bk, bv, wp, bias]
+    if mask is not None:
+        per_img = nw // ch
+        in_specs.append(pl.BlockSpec((ch, n, n),
+                                     lambda i: (i % per_img, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+        kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale)
+    else:
+        def kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                   bv_ref, wp_ref, bias_ref, *out_refs):
+            _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref,
+                        bk_ref, bv_ref, wp_ref, bias_ref, None, *out_refs,
+                        heads=heads, scale=scale)
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n, c), dt),        # dx
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwq
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwk
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwv
+        jax.ShapeDtypeStruct((cq, c), f32),         # dwp
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbq
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbk
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbv
+        jax.ShapeDtypeStruct((1, c), f32),          # dbp
+        jax.ShapeDtypeStruct((heads, n, n), f32),   # dbias
+    ]
+    cc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                  memory_space=pltpu.VMEM)
+    out_specs = [blk, cc((c, cq)), cc((c, cq)), cc((c, cq)), cc((cq, c)),
+                 cc((1, cq)), cc((1, cq)), cc((1, cq)), cc((1, c)),
+                 cc((heads, n, n))]
+    flops = 2 * b * nw * (4 * n * c * cq * 2
+                          + 6 * heads * n * n * (cq // heads))
+    dx_and_grads = pl.pallas_call(
+        kernel,
+        grid=(m // ch,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b * nw * heads * n * n,
+            bytes_accessed=3 * x.size * x.dtype.itemsize),
+    )(*args)
+    dx = dx_and_grads[0].reshape(b, nw, n, c)
+    return (dx,) + tuple(dx_and_grads[1:])
+
+
 def fused_msa_supported(nw: int, n: int, c: int, heads: int,
                         itemsize: int = 2) -> bool:
     """Whether the fused kernel fits VMEM at all for this window geometry.
@@ -366,16 +642,25 @@ def _vjp_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
 
 
 def _vjp_bwd(heads, scale, res, g):
-    """Decomposed backward: the qkv/out projections and their weight grads
-    are plain XLA GEMMs (MXU-bound, cheap), while the attention core —
-    whose XLA backward materializes two (B, nW, h, N, N) score tensors in
-    HBM — runs in the attention_core_bwd Pallas kernel, which recomputes
-    probs in VMEM and also returns the recomputed attention output for the
-    out-projection weight grad.  The mask cotangent is identically zero
-    (the shift mask is a function of integer region ids)."""
+    """Backward. Preferred path: the fully fused Pallas backward kernel
+    (_fused_bwd) — dx + all weight/bias grads in one pass, no HBM
+    intermediates and no 6-D layout transposes.  Fallback (VMEM-gated):
+    decomposed backward — qkv/out projections and their weight grads as
+    XLA GEMMs, the attention core in the attention_core_bwd Pallas kernel.
+    The mask cotangent is identically zero (the shift mask is a function
+    of integer region ids)."""
     from .window_attn import attention_core_bwd
 
     x, wqkv, bqkv, wproj, bproj, bias, mask = res
+
+    if fused_msa_bwd_supported(x.shape[1], x.shape[2], x.shape[3], heads,
+                               jnp.dtype(x.dtype).itemsize):
+        dx, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd(
+            x, wqkv, bqkv, wproj, bias, mask, g, heads, scale)
+        return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
+                None if mask is None else jnp.zeros_like(mask))
     b, nw, n, c = x.shape
     hd = c // heads
     f32 = jnp.float32

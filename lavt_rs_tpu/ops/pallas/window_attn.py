@@ -107,11 +107,22 @@ def _vjp_fwd(q, k, v, bias, mask, scale):
 
 
 def _vjp_bwd(scale, res, g):
-    """Recompute-based backward in plain XLA (the score tensor only lives
-    for the backward pass; for training the remat trade-off is acceptable
-    and XLA fuses the chain reasonably well)."""
+    """Backward. Preferred: the attention-core Pallas kernel (recomputes
+    probs in VMEM, no HBM score tensors). Fallback (VMEM-gated, e.g. video
+    n=1152 windows): recompute in plain XLA.
+
+    The mask cotangent is returned as zeros — in this model the shift mask
+    is a trace-time constant of integer region ids."""
     q, k, v, bias, mask = res
     dt = q.dtype
+
+    b, nw, h, n, hd = q.shape
+    if attention_core_bwd_supported(n, h, hd):
+        dq, dk, dv, dbias, _ = attention_core_bwd(
+            q, k, v, bias, mask, g, float(scale))
+        return (dq.astype(dt), dk.astype(dt), dv.astype(dt),
+                dbias.astype(bias.dtype),
+                None if mask is None else jnp.zeros_like(mask))
     qs = q.astype(jnp.float32) * scale
     s = jnp.einsum("bwhnd,bwhmd->bwhnm", qs, k.astype(jnp.float32))
     s = s + bias.astype(jnp.float32)[None, None]
@@ -212,6 +223,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     dbias_ref[...] += ds.astype(dbias_ref.dtype)
+
+
+def attention_core_bwd_supported(n: int, heads: int, hd: int) -> bool:
+    """VMEM gate for attention_core_bwd: the head-group loop can only halve
+    even counts, and the resident f32 tiles (bias + dbias + 4 score-sized
+    temporaries per group) must fit alongside the 9 double-buffered
+    (hg, n, hd) blocks."""
+    hg = heads
+    while hg > 1 and hg % 2 == 0 and (4 * hg * n * n * 4) > 3 * 1024 * 1024:
+        hg //= 2
+    buf = (2 * hg * n * n * 4            # bias + dbias blocks
+           + 4 * hg * n * n * 4          # s/p/dp/ds f32 tiles
+           + 9 * 2 * hg * n * hd * 4)    # q/k/v/do + dq/dk/dv/o (dbl-buf)
+    return buf <= 12 * 1024 * 1024
 
 
 def attention_core_bwd(q, k, v, bias, mask, do, scale: float):

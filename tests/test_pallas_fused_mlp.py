@@ -44,11 +44,106 @@ def test_fused_ln_mlp_grads(rng):
         return (_ref_forward(x, g, be, w1, b1, w2, b2).astype(x.dtype)
                 ** 2).sum()
 
+    with pltpu.force_tpu_interpret_mode():  # bwd is a Pallas kernel too
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, g, w1, w2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, g, w1, w2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ln_mlp_grads_xla_fallback(rng, monkeypatch):
+    """The XLA-recompute backward (used when the Pallas backward exceeds
+    its VMEM gate) still matches the reference grads."""
+    import lavt_rs_tpu.ops.pallas.fused_mlp as fm
+
+    monkeypatch.setattr(fm, "fused_ln_mlp_bwd_supported",
+                        lambda *a, **k: False)
+    m, c, hidden = 16, 16, 32
+    x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    g = jnp.ones((c,))
+    be = jnp.zeros((c,))
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * .2)
+    b1 = jnp.zeros((hidden,))
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * .2)
+    b2 = jnp.zeros((c,))
+
+    def loss_p(x, g, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_ln_mlp(x, g, be, w1, b1, w2, b2) ** 2).sum()
+
+    def loss_r(x, g, w1, w2):
+        return (fm._ref_forward(x, g, be, w1, b1, w2, b2).astype(x.dtype)
+                ** 2).sum()
+
     gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, g, w1, w2)
     gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, g, w1, w2)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ln_mlp_droppath_matches_ref(rng):
+    from lavt_rs_tpu.ops.pallas.fused_mlp import (
+        _ref_forward_droppath, fused_ln_mlp_droppath)
+
+    b, rows, c, hidden = 3, 16, 32, 128
+    m = b * rows
+    x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * .1)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * .1)
+    b2 = jnp.asarray(rng.standard_normal(c).astype(np.float32) * .1)
+    keep = jnp.asarray([2.0, 0.0, 1.0], jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_ln_mlp_droppath(x, g, be, w1, b1, w2, b2, keep, rows)
+    want = _ref_forward_droppath(x, g, be, w1, b1, w2, b2, keep, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # dropped sample (keep=0): output == LN-input residual only
+    np.testing.assert_allclose(np.asarray(got[rows:2 * rows]),
+                               np.asarray(x[rows:2 * rows]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_p(x, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_ln_mlp_droppath(
+                x, g, be, w1, b1, w2, b2, keep, rows) ** 2).sum()
+
+    def loss_r(x, w1, w2):
+        return (_ref_forward_droppath(
+            x, g, be, w1, b1, w2, b2, keep, rows).astype(x.dtype) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():  # bwd is a Pallas kernel too
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_swin_block_fused_tail_droppath_matches_xla(rng):
+    """Training-mode SwinBlock (drop_path > 0) with use_pallas equals the
+    XLA block under the same dropout rng — the fused tail draws the same
+    per-sample Bernoulli mask the XLA drop_path does."""
+    from lavt_rs_tpu.models.swin2d import SwinBlock
+
+    dim, heads, ws, H, W, B = 32, 4, 4, 8, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, H * W, dim)).astype(np.float32))
+    kw = dict(dim=dim, num_heads=heads, window_size=ws, shift_size=2,
+              drop_path_rate=0.5)
+    blk_x = SwinBlock(**kw)
+    v = blk_x.init(jax.random.PRNGKey(0), x, (H, W))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    want = blk_x.apply(v, x, (H, W), False, rngs=rngs)
+    blk_p = SwinBlock(**kw, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = blk_p.apply(v, x, (H, W), False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_swin_block_fused_tail_matches_xla(rng):

@@ -52,7 +52,8 @@ def test_pallas_grads_match_xla(rng):
     def loss_x(q, k, v, bias):
         return (window_attention_xla(q, k, v, bias, mask) ** 2).sum()
 
-    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    with pltpu.force_tpu_interpret_mode():  # bwd is a Pallas kernel too
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, bias)
     gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -183,9 +184,46 @@ def test_swin_block_pallas_full_path_matches_xla(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_msa_grads_decomposed_fallback(rng, monkeypatch):
+    """Grads through the decomposed backward (XLA GEMMs + attention-core
+    kernel), used when the fully fused backward exceeds its VMEM gate."""
+    import lavt_rs_tpu.ops.pallas.fused_msa as fm
+
+    monkeypatch.setattr(fm, "fused_msa_bwd_supported",
+                        lambda *a, **k: False)
+    b, nw, n, c, h = 1, 2, 8, 16, 2
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * .2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * .1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .2)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.6, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def loss_p(x, wqkv, bqkv, wproj, bproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                        mask, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, bqkv, wproj, bproj, bias):
+        return (fm._ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h,
+                                scale) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wqkv, bqkv, wproj, bproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_msa_grads_masked(rng):
-    """Grads through the fused kernel's decomposed (Pallas attention-core)
-    backward with an additive shift mask present."""
+    """Grads through the fully fused Pallas backward (dx + all weight/bias
+    grads accumulated in one kernel) with an additive shift mask present."""
     from lavt_rs_tpu.ops.pallas.fused_msa import fused_window_msa, _ref_forward
 
     b, nw, n, c, h = 1, 4, 16, 32, 4

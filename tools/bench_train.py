@@ -1,0 +1,124 @@
+"""Training-step microbenchmark on the real TPU chip.
+
+Measures the full jitted train step (fwd + bwd + AdamW) for the flagship
+lavt_one Swin-B 480 config, with the reference's training hyperparameters
+(drop_path 0.3, dice loss). Marginal-cost timing as in bench.py: queue k
+steps, sync once, subtract the k=1 run.
+
+Usage: python tools/bench_train.py [--batch 8] [--no_pallas] [--drop_path X]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--drop_path", type=float, default=0.3)
+    p.add_argument("--swin", default="base")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--fwd_only", action="store_true")
+    args = p.parse_args()
+
+    from lavt_rs_tpu.config import lavt_one_base
+    from lavt_rs_tpu.models.factory import build_model
+    from lavt_rs_tpu.train.optim import TrainConfig
+    from lavt_rs_tpu.train.step import create_train_state, make_train_step
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    cfg = lavt_one_base().replace(dtype="bfloat16",
+                                  use_pallas=not args.no_pallas)
+    import dataclasses
+    cfg = cfg.replace(swin=dataclasses.replace(
+        cfg.swin, drop_path_rate=args.drop_path))
+    model = build_model(cfg)
+    model_train = build_model(cfg)
+
+    b = args.batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((b, 480, 480, 3)),
+                             jnp.float32),
+        "ids": jnp.asarray(rng.integers(1000, 20000, (b, 20)), jnp.int32),
+        "mask": jnp.ones((b, 20), jnp.int32),
+        "target": jnp.asarray(rng.integers(0, 2, (b, 480, 480)), jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["image"][:1],
+                                    batch["ids"][:1], batch["mask"][:1])
+    jax.block_until_ready(variables)
+    print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    tcfg = TrainConfig(lr=5e-5, weight_decay=1e-2, epochs=40,
+                       iters_per_epoch=250, loss="dice")
+    state, tx = create_train_state(model, variables, tcfg)
+    step = make_train_step(model_train, tx, tcfg)
+
+    if args.fwd_only:
+        def fwd(params, bstats, batch):
+            out = model_train.apply(
+                {"params": params, "batch_stats": bstats},
+                batch["image"], batch["ids"], batch["mask"],
+                deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])[0]
+            return out.sum()
+
+        jf = jax.jit(fwd)
+        t0 = time.perf_counter()
+        float(jf(state.params, state.batch_stats, batch))
+        print(f"fwd compile+first: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+        def run(k):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = jf(state.params, state.batch_stats, batch)
+            float(r)
+            return time.perf_counter() - t0
+
+        t1 = run(1)
+        tn = run(args.iters + 1)
+        dt = (tn - t1) / args.iters
+        print(f"fwd-only (train mode): {dt * 1000:.1f} ms/step "
+              f"({b / dt:.2f} img/s)")
+        return
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    state, m = jstep(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    print(f"step compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    def run(k, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(k):
+            state, m = jstep(state, batch, key)
+        float(m["loss"])
+        return time.perf_counter() - t0, state
+
+    _, state = run(1, state)  # second call can retrace (donated avals)
+    t1, state = run(1, state)
+    tn, state = run(args.iters + 1, state)
+    print(f"t1={t1:.2f}s t(n+1)={tn:.2f}s", file=sys.stderr)
+    dt = (tn - t1) / args.iters
+    print(f"train step: {dt * 1000:.1f} ms/step ({b / dt:.2f} img/s) "
+          f"[pallas={not args.no_pallas} drop_path={args.drop_path} bs={b}]")
+
+
+if __name__ == "__main__":
+    main()
