@@ -30,7 +30,7 @@ import flax.linen as nn
 from ..config import FusionConfig, FusionKind, GateKind, StageOutput, SwinConfig
 from ..ops.attention import window_attention
 from ..ops.window import (
-    relative_position_index_2d,
+    relative_bias_from_table,
     shift_mask_2d,
     window_partition,
     window_reverse,
@@ -138,9 +138,10 @@ class WindowAttention(nn.Module):
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-        idx = relative_position_index_2d(wh, ww)  # numpy (N_full, N_full)
-        bias = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h)
-        bias = bias.transpose(2, 0, 1)  # (h, N, N)
+        # one-hot-contraction form of table[relative_position_index]: the
+        # TPU gather (and its scatter-add transpose in the backward) is far
+        # slower than these two tiny MXU einsums.
+        bias = relative_bias_from_table(table, wh, ww)  # (h, N, N)
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 

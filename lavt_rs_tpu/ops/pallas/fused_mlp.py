@@ -159,13 +159,26 @@ def _vjp_fwd(x, g, be, w1, b1, w2, b2):
     return _fwd(x, g, be, w1, b1, w2, b2), (x, g, be, w1, b1, w2, b2)
 
 
+def _bwd_dispatch(x, gr, g, be, w1, b1, w2, keep_rows):
+    """Pallas backward if the full kernel or a hidden-split fits VMEM,
+    else None (caller falls back to the XLA recompute)."""
+    m, c = x.shape
+    hidden = w1.shape[1]
+    it = jnp.dtype(x.dtype).itemsize
+    if fused_ln_mlp_bwd_supported(m, c, hidden, it):
+        return _bwd(x, gr, g, be, w1, b1, w2, keep_rows)
+    groups = _pick_hidden_groups(m, c, hidden, it)
+    if groups is not None:
+        return _bwd_hsplit(x, gr, g, be, w1, b1, w2, keep_rows, groups)
+    return None
+
+
 def _vjp_bwd(res, gr):
     x, g, be, w1, b1, w2, b2 = res
 
-    if fused_ln_mlp_bwd_supported(x.shape[0], x.shape[1], w1.shape[1],
-                                  jnp.dtype(x.dtype).itemsize):
-        dx, dg, dbe, dw1, db1, dw2, db2 = _bwd(x, gr, g, be, w1, b1, w2,
-                                               None)
+    outs = _bwd_dispatch(x, gr, g, be, w1, b1, w2, None)
+    if outs is not None:
+        dx, dg, dbe, dw1, db1, dw2, db2 = outs
         return (dx.astype(x.dtype), dg.astype(g.dtype), dbe.astype(be.dtype),
                 dw1.astype(w1.dtype), db1.astype(b1.dtype),
                 dw2.astype(w2.dtype), db2.astype(b2.dtype))
@@ -239,6 +252,162 @@ def _bwd_kernel(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
     dx_ref[...] = (gy + dx_ln).astype(dx_ref.dtype)
+
+
+def _bwd_kernel_hsplit(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref,
+                       w2_ref, keep_ref, dyln_ref, dw1_ref, dw2_ref,
+                       db1_ref, db2_ref):
+    """Hidden-split backward: covers a SLICE of the hidden dim (w1 columns
+    / w2 rows), so wide stages (C=512, hidden=2048) whose full weight +
+    accumulator set exceeds VMEM still avoid the (M, hidden) HBM
+    intermediates. Emits the dyln partial (the LN backward runs in XLA
+    after the group partials are summed) plus this slice's weight grads."""
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[...]
+    dt = x.dtype
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xhat = (xf - mu) * jax.lax.rsqrt(var + _EPS)
+    xn = xhat * g_ref[...].astype(f32)[None] + be_ref[...].astype(f32)[None]
+    xn_c = xn.astype(dt)
+    hpre = jnp.dot(xn_c, w1_ref[...], preferred_element_type=f32)
+    hpre = hpre + b1_ref[...].astype(f32)[None]
+    cdf = 0.5 * (1.0 + _erf(hpre * (2.0 ** -0.5)))
+    h = hpre * cdf
+
+    gy = gy_ref[...].astype(f32)
+    dmlp = gy * keep_ref[...] if keep_ref is not None else gy
+    dmlp_c = dmlp.astype(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    rowsT = (((0,), (0,)), ((), ()))
+    laneT = (((1,), (1,)), ((), ()))
+    db2_ref[...] += dmlp.sum(0)[None]
+    dw2_ref[...] += jax.lax.dot_general(h.astype(dt), dmlp_c, rowsT,
+                                        preferred_element_type=f32)
+    dh = jax.lax.dot_general(dmlp_c, w2_ref[...], laneT,
+                             preferred_element_type=f32)
+    pdf = jnp.exp(-0.5 * hpre * hpre) * 0.3989422804014327
+    dhpre = dh * (cdf + hpre * pdf)
+    dhpre_c = dhpre.astype(dt)
+    db1_ref[...] += dhpre.sum(0)[None]
+    dw1_ref[...] += jax.lax.dot_general(xn_c, dhpre_c, rowsT,
+                                        preferred_element_type=f32)
+    dyln_ref[...] = jax.lax.dot_general(dhpre_c, w1_ref[...], laneT,
+                                        preferred_element_type=f32)
+
+
+def _bwd_hsplit(x, gy, g, be, w1, b1, w2, keep_rows, groups: int):
+    """Run _bwd_kernel_hsplit per hidden group, then finish the LN backward
+    (and the residual add) in XLA from the summed dyln."""
+    m, c = x.shape
+    hidden = w1.shape[1]
+    hg = hidden // groups
+    dt = x.dtype
+    f32 = jnp.float32
+    tc = _pick_rows_bwd_split(m, c, hidden, groups,
+                              jnp.dtype(dt).itemsize)
+
+    dyln = None
+    dw1_p, dw2_p, db1_p = [], [], []
+    db2 = None
+    for gi in range(groups):
+        sl = slice(gi * hg, (gi + 1) * hg)
+        w1g = w1[:, sl].astype(dt)
+        w2g = w2[sl, :].astype(dt)
+        const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                       memory_space=pltpu.VMEM)
+        blk = pl.BlockSpec((tc, c), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        in_specs = [blk, blk, const(g), const(be), const(w1g),
+                    const(b1[sl]), const(w2g)]
+        args = [x, gy, g, be, w1g, b1[sl], w2g]
+        if keep_rows is not None:
+            in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(keep_rows)
+            kernel = _bwd_kernel_hsplit
+        else:
+            def kernel(x_ref, gy_ref, g_ref, be_ref, w1_ref, b1_ref,
+                       w2_ref, *out_refs):
+                _bwd_kernel_hsplit(x_ref, gy_ref, g_ref, be_ref, w1_ref,
+                                   b1_ref, w2_ref, None, *out_refs)
+
+        cc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                      memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(m // tc,),
+            in_specs=in_specs,
+            out_specs=[blk, cc((c, hg)), cc((hg, c)), cc((1, hg)),
+                       cc((1, c))],
+            out_shape=[
+                jax.ShapeDtypeStruct((m, c), f32),      # dyln partial
+                jax.ShapeDtypeStruct((c, hg), f32),     # dw1 slice
+                jax.ShapeDtypeStruct((hg, c), f32),     # dw2 slice
+                jax.ShapeDtypeStruct((1, hg), f32),     # db1 slice
+                jax.ShapeDtypeStruct((1, c), f32),      # db2
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * c * hg * 6, transcendentals=3 * m * hg,
+                bytes_accessed=3 * m * c * jnp.dtype(dt).itemsize
+                + (w1g.size + w2g.size) * 2),
+        )(*args)
+        dyln = outs[0] if dyln is None else dyln + outs[0]
+        dw1_p.append(outs[1])
+        dw2_p.append(outs[2])
+        db1_p.append(outs[3][0])
+        if db2 is None:
+            db2 = outs[4][0]
+
+    # LN backward + residual in XLA (elementwise over (M, C), fused).
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mu) * rstd
+    dg = (dyln * xhat).sum(0)
+    dbe = dyln.sum(0)
+    dxhat = dyln * g.astype(f32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (gy.astype(f32) + rstd * (dxhat - m1 - xhat * m2)).astype(dt)
+    return (dx, dg, dbe, jnp.concatenate(dw1_p, axis=1),
+            jnp.concatenate(db1_p), jnp.concatenate(dw2_p, axis=0), db2)
+
+
+def _pick_rows_bwd_split(m: int, c: int, hidden: int, groups: int,
+                         itemsize: int) -> int:
+    """Row chunk for the hidden-split backward (per-group weights)."""
+    hg = hidden // groups
+    fixed = 2 * c * hg * (itemsize + 4)
+    best = 0
+    for tc in range(8, min(m, 2048) + 1, 8):
+        if m % tc:
+            continue
+        buf = (2 * tc * c * itemsize        # x + gy blocks
+               + tc * c * 4                 # dyln out block
+               + 5 * tc * c * 4             # xf/xhat/xn/dmlp f32
+               + 4 * tc * hg * 4)           # hpre/h/dh/dhpre f32
+        if fixed + buf <= 10 * 1024 * 1024:
+            best = tc
+    return best
+
+
+def _pick_hidden_groups(m: int, c: int, hidden: int, itemsize: int):
+    for groups in (2, 4):
+        if hidden % groups == 0 and _pick_rows_bwd_split(
+                m, c, hidden, groups, itemsize) >= 8:
+            return groups
+    return None
 
 
 def _pick_rows_bwd(m: int, c: int, hidden: int, itemsize: int) -> int:
@@ -348,11 +517,10 @@ def _vjp_fwd_dp(x, g, be, w1, b1, w2, b2, keep, rows):
 def _vjp_bwd_dp(rows, res, gr):
     x, g, be, w1, b1, w2, b2, keep = res
 
-    if fused_ln_mlp_bwd_supported(x.shape[0], x.shape[1], w1.shape[1],
-                                  jnp.dtype(x.dtype).itemsize):
-        keep_rows = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
-        dx, dg, dbe, dw1, db1, dw2, db2 = _bwd(x, gr, g, be, w1, b1, w2,
-                                               keep_rows)
+    keep_rows = jnp.repeat(keep.astype(jnp.float32), rows)[:, None]
+    outs = _bwd_dispatch(x, gr, g, be, w1, b1, w2, keep_rows)
+    if outs is not None:
+        dx, dg, dbe, dw1, db1, dw2, db2 = outs
         return (dx.astype(x.dtype), dg.astype(g.dtype), dbe.astype(be.dtype),
                 dw1.astype(w1.dtype), db1.astype(b1.dtype),
                 dw2.astype(w2.dtype), db2.astype(b2.dtype),

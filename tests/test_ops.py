@@ -132,3 +132,45 @@ def test_window_attention_xla_matches_naive(rng):
     attn = attn + torch.from_numpy(mask)[None, :, None]
     want = (attn.softmax(-1) @ vt).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_relative_bias_from_table_matches_gather(rng):
+    from lavt_rs_tpu.ops.window import (relative_bias_from_table,
+                                        relative_position_index_2d)
+
+    for wh, ww in ((7, 7), (12, 12), (4, 6)):
+        h = 5
+        table = rng.standard_normal(((2 * wh - 1) * (2 * ww - 1), h)
+                                    ).astype(np.float32)
+        idx = relative_position_index_2d(wh, ww)
+        want = table[idx.reshape(-1)].reshape(wh * ww, wh * ww, h
+                                              ).transpose(2, 0, 1)
+        got = np.asarray(relative_bias_from_table(jnp.asarray(table),
+                                                  wh, ww))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_relative_bias_from_table_grad_matches_gather(rng):
+    import jax
+
+    from lavt_rs_tpu.ops.window import (relative_bias_from_table,
+                                        relative_position_index_2d)
+
+    wh, ww, h = 7, 5, 3
+    table = jnp.asarray(rng.standard_normal(
+        ((2 * wh - 1) * (2 * ww - 1), h)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(
+        (h, wh * ww, wh * ww)).astype(np.float32))
+    idx = relative_position_index_2d(wh, ww)
+
+    def loss(t):
+        return (relative_bias_from_table(t, wh, ww) * cot).sum()
+
+    def loss_ref(t):
+        b = t[jnp.asarray(idx.reshape(-1))].reshape(wh * ww, wh * ww, h)
+        return (b.transpose(2, 0, 1) * cot).sum()
+
+    got = jax.grad(loss)(table)
+    want = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

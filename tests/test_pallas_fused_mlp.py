@@ -52,6 +52,59 @@ def test_fused_ln_mlp_grads(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_ln_mlp_grads_hidden_split(rng, monkeypatch):
+    """The hidden-split backward (weight slices per group + XLA LN tail,
+    used when the full kernel's accumulators exceed VMEM) matches the
+    reference grads, with and without droppath."""
+    import lavt_rs_tpu.ops.pallas.fused_mlp as fm
+
+    monkeypatch.setattr(fm, "fused_ln_mlp_bwd_supported",
+                        lambda *a, **k: False)
+    monkeypatch.setattr(fm, "_pick_hidden_groups", lambda *a, **k: 2)
+    b_, rows, c, hidden = 3, 16, 32, 128
+    m = b_ * rows
+    x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)).astype(np.float32) * .2)
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)).astype(np.float32) * .2)
+    b2 = jnp.asarray(rng.standard_normal(c).astype(np.float32) * .1)
+    keep = jnp.asarray([2.0, 0.0, 1.0], jnp.float32)
+
+    def loss_p(x, g, be, w1, b1, w2, b2):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_ln_mlp(x, g, be, w1, b1, w2, b2) ** 2).sum()
+
+    def loss_r(x, g, be, w1, b1, w2, b2):
+        return (fm._ref_forward(x, g, be, w1, b1, w2, b2).astype(x.dtype)
+                ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=tuple(range(7)))(
+            x, g, be, w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    def loss_pd(x, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_ln_mlp_droppath(
+                x, g, be, w1, b1, w2, b2, keep, rows) ** 2).sum()
+
+    def loss_rd(x, w1, w2):
+        return (fm._ref_forward_droppath(
+            x, g, be, w1, b1, w2, b2, keep, rows).astype(x.dtype) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pd, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(loss_rd, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fused_ln_mlp_grads_xla_fallback(rng, monkeypatch):
     """The XLA-recompute backward (used when the Pallas backward exceeds
     its VMEM gate) still matches the reference grads."""
@@ -59,6 +112,7 @@ def test_fused_ln_mlp_grads_xla_fallback(rng, monkeypatch):
 
     monkeypatch.setattr(fm, "fused_ln_mlp_bwd_supported",
                         lambda *a, **k: False)
+    monkeypatch.setattr(fm, "_pick_hidden_groups", lambda *a, **k: None)
     m, c, hidden = 16, 16, 32
     x = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
     g = jnp.ones((c,))
