@@ -15,29 +15,22 @@ import numpy as np
 
 
 def get_parser():
+    from .args import (add_data_args, add_eval_args, add_model_args,
+                       add_train_args)
+
     p = argparse.ArgumentParser("lavt_rs_tpu evaluation")
-    p.add_argument("--model", default="lavt_one")
-    p.add_argument("--dataset", default="refcoco")
-    p.add_argument("--splitBy", default="unc")
-    p.add_argument("--split", default="val")
-    p.add_argument("--swin_type", default="base")
-    p.add_argument("--window12", action="store_true")
-    p.add_argument("--img_size", type=int, default=480)
-    p.add_argument("--max_tokens", type=int, default=20)
-    p.add_argument("--refer_data_root", default="./refer/data")
-    p.add_argument("--vocab", default="./vocab.txt")
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)  # --resume / --ckpt / loss flags, reference-style
+    add_eval_args(p)
     p.add_argument("--checkpoint", default="",
-                   help="orbax dir (ours) or torch .pth (converted)")
-    p.add_argument("--bf16", action="store_true", default=True)
+                   help="orbax dir (ours) or torch .pth (converted); "
+                        "--resume is the reference-compatible alias")
     p.add_argument("--max_items", type=int, default=0)
     p.add_argument("--save_vis", default="",
-                   help="directory for mask-overlay PNG dumps (the "
-                        "reference's --a2d_masks / visualization path)")
-    p.add_argument("--save_feats", default="",
-                   help="directory for decoder intermediate-feature .npz "
-                        "dumps (the reference's --save_feats path, "
-                        "test.py:121-230 / mask_predictor forward_feats)")
-    p.add_argument("--synthetic", action="store_true")
+                   help="directory for mask-overlay PNG dumps (alias of "
+                        "the reference's --a2d_masks behavior)")
+    p.set_defaults(split="val")
     return p
 
 
@@ -48,12 +41,13 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..eval.refcoco_eval import evaluate
-    from ..models.factory import build_model, make_config
+    from ..models.factory import build_model
 
-    cfg = make_config(args.model, swin_type=args.swin_type,
-                      window12=args.window12, img_size=args.img_size,
-                      max_tokens=args.max_tokens,
-                      dtype="bfloat16" if args.bf16 else "float32")
+    from .args import model_config_from_args
+
+    cfg = model_config_from_args(args)
+    if not args.checkpoint and args.resume:
+        args.checkpoint = args.resume
     model = build_model(cfg)
 
     if args.synthetic:

@@ -26,18 +26,22 @@ import numpy as np
 
 
 def get_parser():
+    from .args import (add_data_args, add_eval_args, add_model_args,
+                       add_train_args)
+
     p = argparse.ArgumentParser("lavt_rs_tpu ytvos inference")
-    p.add_argument("--ytvos_root", default="./data/ref-youtube-vos")
-    p.add_argument("--swin_type", default="tiny")
-    p.add_argument("--window12", action="store_true")
-    p.add_argument("--img_size", type=int, default=480)
-    p.add_argument("--vocab", default="./vocab.txt")
-    p.add_argument("--checkpoint", default="")
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    add_eval_args(p)
+    p.add_argument("--checkpoint", default="",
+                   help="orbax dir (ours) or torch .pth (converted); "
+                        "--resume is the reference-compatible alias")
     p.add_argument("--out", default="./ytvos_masks")
-    p.add_argument("--split", default="valid")
     p.add_argument("--chunk_frames", type=int, default=0,
                    help="process videos in temporal chunks of this size")
     p.add_argument("--max_videos", type=int, default=0)
+    p.set_defaults(model="lavt_video", swin_type="tiny", split="valid")
     return p
 
 
@@ -66,20 +70,22 @@ def main(argv=None):
     from PIL import Image
 
     from ..data.transforms import normalize, resize_pair
-    from ..models.factory import build_model, make_config
+    from ..models.factory import build_model
     from ..ops.resize import resize_2d
     from ..text.tokenizer import WordPieceTokenizer
 
-    videos = load_validation_videos(args.ytvos_root, args.split)
+    videos = load_validation_videos(args.ytvos_data_root, args.split)
     names = sorted(videos.keys())
     # shard across hosts
     names = names[jax.process_index()::jax.process_count()]
     if args.max_videos:
         names = names[: args.max_videos]
 
-    cfg = make_config("lavt_video", swin_type=args.swin_type,
-                      window12=args.window12, img_size=args.img_size,
-                      max_tokens=22, dtype="bfloat16")
+    from .args import model_config_from_args
+
+    cfg = model_config_from_args(args)
+    if not args.checkpoint and args.resume:
+        args.checkpoint = args.resume
     model = build_model(cfg)
     tok = WordPieceTokenizer.from_vocab_file(args.vocab)
 
@@ -91,7 +97,7 @@ def main(argv=None):
         imgs, sizes = [], None
         for fr in frames:
             img = Image.open(os.path.join(
-                args.ytvos_root, args.split, "JPEGImages", vid,
+                args.ytvos_data_root, args.split, "JPEGImages", vid,
                 f"{fr}.jpg")).convert("RGB")
             sizes = (img.height, img.width)
             rimg, _ = resize_pair(img, None, (args.img_size, args.img_size))

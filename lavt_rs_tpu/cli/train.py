@@ -2,12 +2,14 @@
 
 Single jitted program per step over a data mesh (no torch.distributed
 launcher: multi-chip = same script under `jax.distributed.initialize`).
+The flag surface replicates the reference's parser (args.py:4-255) via
+cli/args.py, so reference command lines work unchanged, e.g. the
+README.md:167 RefCOCO recipe:
 
-Example (RefCOCO, lavt_one Swin-B, the README.md:167 recipe):
   python -m lavt_rs_tpu.cli.train --dataset refcoco --model lavt_one \
-      --swin_type base --window12 --lr 5e-5 --epochs 40 --batch_size 32 \
-      --refer_data_root ./refer/data --vocab ./bert-base-uncased-vocab.txt \
-      --output_dir ./checkpoints
+      --swin_type base --window12 --lr 0.00005 --wd 1e-2 -b 32 \
+      --epochs 40 --refer_data_root ./refer/data --vocab ./vocab.txt \
+      --output-dir ./checkpoints
 
 Use --synthetic to smoke-run the full loop without data on disk.
 """
@@ -15,78 +17,23 @@ Use --synthetic to smoke-run the full loop without data on disk.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 import time
 
 import numpy as np
 
+from .args import (add_data_args, add_eval_args, add_model_args,
+                   add_train_args, model_config_from_args,
+                   train_config_from_args)
+
 
 def get_parser():
     p = argparse.ArgumentParser("lavt_rs_tpu training")
-    p.add_argument("--model", default="lavt_one",
-                   choices=["lavt", "lavt_one", "lavt_video"])
-    p.add_argument("--dataset", default="refcoco",
-                   choices=["refcoco", "refcoco+", "refcocog", "a2d",
-                            "ytvos", "ref_pseudo_video"])
-    p.add_argument("--splitBy", default="unc")
-    p.add_argument("--split", default="train")
-    p.add_argument("--val_split", default="val")
-    p.add_argument("--swin_type", default="base",
-                   choices=["tiny", "small", "base", "large"])
-    p.add_argument("--window12", action="store_true")
-    p.add_argument("--img_size", type=int, default=480)
-    p.add_argument("--max_tokens", type=int, default=20)
-    p.add_argument("--lr", type=float, default=5e-5)
-    p.add_argument("--weight_decay", type=float, default=1e-2)
-    p.add_argument("--epochs", type=int, default=40)
-    p.add_argument("--batch_size", type=int, default=32,
-                   help="GLOBAL batch size (split across chips)")
-    p.add_argument("--loss", default="cross_entropy",
-                   choices=["cross_entropy", "dice", "dice_focal",
-                            "dice_boundary"])
-    p.add_argument("--lang_enc_params", default="encoder-10")
-    p.add_argument("--fix_lr", action="store_true")
-    p.add_argument("--amp", dest="bf16", action="store_true", default=True,
-                   help="bf16 activations (default on; TPU-native AMP)")
-    p.add_argument("--no_bf16", dest="bf16", action="store_false")
-    p.add_argument("--use_checkpoint", action="store_true",
-                   help="remat Swin blocks")
-    p.add_argument("--refer_data_root", default="./refer/data")
-    p.add_argument("--a2d_root", default="./data/a2d_sentences")
-    p.add_argument("--a2d_ann", default="./data/a2d_train_annotations.json")
-    p.add_argument("--ytvos_root", default="./data/ref-youtube-vos/train")
-    p.add_argument("--ytvos_ann", default="./data/meta_expressions.json")
-    p.add_argument("--num_frames", type=int, default=8)
-    p.add_argument("--clip_length", type=int, default=16)
-    p.add_argument("--vocab", default="./vocab.txt")
-    p.add_argument("--pretrained", default="",
-                   help="torch .pth to convert and load (Swin/LAVT ckpt)")
-    p.add_argument("--resume", default="")
-    p.add_argument("--output_dir", default="./checkpoints")
-    p.add_argument("--keep_checkpoints", type=int, default=0,
-                   help="keep only last N checkpoints (0 = all)")
-    p.add_argument("--eval_every", type=int, default=1)
-    p.add_argument("--print_freq", type=int, default=10)
-    p.add_argument("--combined_pretrain", action="store_true",
-                   help="train on refcoco+refcoco+ +refcocog combined "
-                        "(max_tokens 22, reference "
-                        "--ref_image_combined_pretrain)")
-    p.add_argument("--synthetic", action="store_true",
-                   help="random data smoke run (no dataset needed)")
-    p.add_argument("--synthetic_steps", type=int, default=4)
-    p.add_argument("--seed", type=int, default=0)
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    add_eval_args(p)
     return p
-
-
-def build_cfg(args):
-    from ..models.factory import make_config
-
-    return make_config(
-        args.model, swin_type=args.swin_type, window12=args.window12,
-        img_size=args.img_size, max_tokens=args.max_tokens,
-        use_checkpoint=args.use_checkpoint,
-        dtype="bfloat16" if args.bf16 else "float32")
 
 
 def synthetic_batches(args, steps, rng, video: bool = False):
@@ -125,7 +72,8 @@ def main(argv=None):
     from ..train.optim import TrainConfig
     from ..train.step import create_train_state, make_train_step
 
-    cfg = build_cfg(args)
+    cfg = model_config_from_args(args)
+    args.max_tokens = cfg.max_tokens
     model = build_model(cfg, train=True)
     rng = np.random.default_rng(args.seed)
 
@@ -146,14 +94,14 @@ def main(argv=None):
             from ..data.a2d import A2DSentencesDataset
 
             train_ds = A2DSentencesDataset(
-                args.a2d_root, args.a2d_ann, tok, subset="train",
+                args.a2d_data_root, args.a2d_ann, tok, subset="train",
                 num_frames=args.num_frames, clip_length=args.clip_length,
                 img_size=args.img_size, max_tokens=args.max_tokens)
         elif args.dataset == "ytvos":
             from ..data.ytvos import YTVOSDataset
 
             train_ds = YTVOSDataset(
-                args.ytvos_root, args.ytvos_ann, tok,
+                args.ytvos_data_root, args.ytvos_ann, tok,
                 num_frames=args.num_frames, img_size=args.img_size,
                 max_tokens=args.max_tokens)
         else:  # ref_pseudo_video: RefCOCO images as static clips
@@ -188,7 +136,7 @@ def main(argv=None):
 
         refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
         tok = WordPieceTokenizer.from_vocab_file(args.vocab)
-        if args.combined_pretrain:
+        if args.ref_image_combined_pretrain:
             # reference: the 3 RefCOCO-family datasets concatenated, 22
             # tokens (data/dataset_refer_bert.py:39-42)
             from ..data.pseudo_video import ConcatDataset
@@ -214,11 +162,7 @@ def main(argv=None):
             return batch_iterator(train_ds, args.batch_size, shuffle=True,
                                   seed=args.seed + epoch)
 
-    tcfg = TrainConfig(
-        lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
-        iters_per_epoch=max(iters_per_epoch, 1), loss=args.loss,
-        lang_enc_params=args.lang_enc_params, fix_lr=args.fix_lr,
-        batch_size=args.batch_size)
+    tcfg = train_config_from_args(args, max(iters_per_epoch, 1))
 
     # init
     b0 = {k: v[:1] for k, v in next(iter(epoch_batches(0))).items()}
@@ -227,12 +171,12 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), jnp.asarray(vis0),
         jnp.asarray(b0["ids"]), jnp.asarray(b0["mask"]))
 
-    if args.pretrained:
+    if args.pretrained_swin_weights:
         from ..convert.torch2jax import convert_lavt_one_file
 
-        print(f"converting torch checkpoint {args.pretrained}",
+        print(f"converting torch checkpoint {args.pretrained_swin_weights}",
               file=sys.stderr)
-        converted = convert_lavt_one_file(args.pretrained, cfg)
+        converted = convert_lavt_one_file(args.pretrained_swin_weights, cfg)
         variables = jax.tree.map(jnp.asarray, converted)
 
     state, tx = create_train_state(model, variables, tcfg)

@@ -115,5 +115,16 @@ LOSSES = {
 }
 
 
-def get_loss(name: str):
+def get_loss(name: str, focal_rate: float = 3.0, dice_rate: float = 1.0,
+             boundary_rate: float = 0.05):
+    """Loss by name; the rate knobs mirror the reference's
+    --loss_focal_rate / --loss_dice_rate / --loss_boundary_rate
+    (args.py:82-84, used at train.py:703-714)."""
+    if name == "dice_focal":
+        return functools.partial(dice_focal_loss, focal_rate=focal_rate,
+                                 dice_rate=dice_rate)
+    if name == "dice_boundary":
+        return functools.partial(dice_boundary_loss,
+                                 boundary_rate=boundary_rate,
+                                 dice_rate=dice_rate)
     return LOSSES[name]

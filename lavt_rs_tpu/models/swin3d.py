@@ -27,7 +27,7 @@ from ..config import FusionConfig, FusionKind, GateKind, StageOutput, SwinConfig
 from ..ops.attention import window_attention
 from ..ops.window import (
     get_window_size_3d,
-    relative_position_index_3d,
+    relative_bias_from_table_3d,
     shift_mask_3d,
     window_partition_3d,
     window_reverse_3d,
@@ -62,8 +62,9 @@ class WindowAttention3D(nn.Module):
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-        idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
-        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        # gather forward / separable one-hot backward (the scatter-add
+        # transpose of the gather is very slow on TPU)
+        bias = relative_bias_from_table_3d(table, wd, wh, ww, n)
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 

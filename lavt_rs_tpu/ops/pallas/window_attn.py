@@ -49,19 +49,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     out_ref[0, 0] = o.astype(out_ref.dtype)
 
 
+def _pick_head_group(h: int, n: int, budget: int) -> int:
+    """Largest divisor of h whose f32 (hg, N, N) tile fits the budget —
+    bounds the score+bias tiles in VMEM (Swin-B stage 4 has 32 heads;
+    video Swin-T has 3, which halving alone could never split)."""
+    for hg in range(h, 0, -1):
+        if h % hg == 0 and hg * n * n * 4 <= budget:
+            return hg
+    return 1
+
+
+def _attn_fwd_head_group(h: int, n: int, hd: int) -> int:
+    """Head group for the forward kernel: the largest divisor of h whose
+    bias tile stays under ~2 MB, but only if THAT group's double-buffered
+    step footprint also fits ~9 MB — deliberately no fallback to smaller
+    groups: at video geometry (n=392, h=3) an hg=1 grid is 3x b x nW tiny
+    steps and measured 60 ms/step SLOWER than the XLA path at Swin-T
+    8-frame clips. 0 = unsupported (caller falls back to XLA)."""
+    hg = _pick_head_group(h, n, 2 * 1024 * 1024)
+    buf = (hg * n * n * 4          # bias block
+           + hg * n * n * 4        # f32 score tile
+           + n * n * 4             # mask block
+           + 3 * hg * n * hd * 4)  # q/k/v blocks (f32 upper bound)
+    return hg if 2 * buf <= 9 * 1024 * 1024 else 0
+
+
 def _fwd(q, k, v, bias, mask, scale):
     b, nw, h, n, hd = q.shape
     dt = q.dtype
     qs = (q * jnp.asarray(scale, dt))
 
-    # Head grouping bounds the f32 (hg, N, N) score+bias tiles in VMEM
-    # (stage 4 of Swin-B has 32 heads — overflow unsplit).
-    # Splitting goes below 8 heads when windows are large (video N=392:
-    # hg=6 leaves 2x(3.7 MB) f32 tiles that double-buffer past the 16 MB
-    # scoped limit — measured 16.24M OOM).
-    hg = h
-    while hg > 1 and hg % 2 == 0 and (hg * n * n * 4) > 2 * 1024 * 1024:
-        hg //= 2
+    hg = _attn_fwd_head_group(h, n, hd)
 
     def qkv_spec():
         return pl.BlockSpec((1, 1, hg, n, hd),
@@ -154,17 +172,10 @@ def window_attention_pallas(q, k, v, bias, mask=None,
 def attn_only_supported(n: int, heads: int, hd: int) -> bool:
     """Whether the attention-only kernel fits VMEM for this window size.
 
-    The f32 bias block is (hg, n, n) after head-grouping (hg >= min(8, h));
-    video window (8, 12, 12) gives n=1152 whose bias alone is ~5-16 MB —
-    those shapes fall back to the XLA path."""
-    hg = heads
-    while hg > 1 and hg % 2 == 0 and (hg * n * n * 4) > 2 * 1024 * 1024:
-        hg //= 2
-    buf = (hg * n * n * 4          # bias block
-           + hg * n * n * 4        # f32 score tile
-           + n * n * 4             # mask block
-           + 3 * hg * n * hd * 4)  # q/k/v blocks (f32 upper bound)
-    return 2 * buf <= 9 * 1024 * 1024
+    Head grouping may pick any divisor of h (video Swin-T has 3 heads);
+    window (8, 12, 12)'s n=1152 has a ~5 MB single-head tile — those
+    shapes fall back to the XLA path."""
+    return _attn_fwd_head_group(heads, n, hd) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -230,9 +241,12 @@ def attention_core_bwd_supported(n: int, heads: int, hd: int) -> bool:
     even counts, and the resident f32 tiles (bias + dbias + 4 score-sized
     temporaries per group) must fit alongside the 9 double-buffered
     (hg, n, hd) blocks."""
-    hg = heads
-    while hg > 1 and hg % 2 == 0 and (4 * hg * n * n * 4) > 3 * 1024 * 1024:
-        hg //= 2
+    hg = _pick_head_group(heads, n, 3 * 1024 * 1024 // 4)
+    if hg < 2:
+        # an hg=1 grid means h x B x nW tiny steps — measured neutral at
+        # best (video n=392: 188 vs 187 ms/step XLA); not worth the
+        # compile time, so fall back to XLA recompute
+        return False
     buf = (2 * hg * n * n * 4            # bias + dbias blocks
            + 4 * hg * n * n * 4          # s/p/dp/ds f32 tiles
            + 9 * 2 * hg * n * hd * 4)    # q/k/v/do + dq/dk/dv/o (dbl-buf)
@@ -250,9 +264,7 @@ def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
     b, nw, h, n, hd = q.shape
     dt = q.dtype
 
-    hg = h
-    while hg > 1 and hg % 2 == 0 and (4 * hg * n * n * 4) > 3 * 1024 * 1024:
-        hg //= 2
+    hg = _pick_head_group(h, n, 3 * 1024 * 1024 // 4)
 
     def qkv_spec():
         return pl.BlockSpec((1, 1, hg, n, hd),

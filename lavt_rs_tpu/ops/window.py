@@ -211,6 +211,44 @@ def shift_mask_3d(dp: int, hp: int, wp: int, ws, ss) -> Optional[jnp.ndarray]:
     return _ids_to_mask(_shift_region_ids_3d_np(dp, hp, wp, ws, ss))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def relative_bias_from_table_3d(table, wd: int, wh: int, ww: int, n: int):
+    """(h, n, n) 3D relative-position bias, == table[idx[:n, :n]] where
+    idx = relative_position_index_3d (the [:n] truncation is the
+    reference's clamped-window slicing, video_swin_transformer.py:150).
+
+    Forward: plain gather. Backward: the scatter-add transpose is slow on
+    TPU (~17 ms/step over video Swin-T's 12 tables); instead the cotangent
+    is zero-padded to the full window and contracted against three tiny
+    one-hot axis constants on the MXU (the map is separable per axis)."""
+    idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
+    heads = table.shape[-1]
+    bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
+    return bias.transpose(2, 0, 1)
+
+
+def _bias3d_vjp_fwd(table, wd, wh, ww, n):
+    return relative_bias_from_table_3d(table, wd, wh, ww, n), None
+
+
+def _bias3d_vjp_bwd(wd, wh, ww, n, _, g):
+    heads = g.shape[0]
+    nf = wd * wh * ww
+    gp = g.transpose(1, 2, 0)
+    if n < nf:  # clamped window: scatter of zeros adds nothing
+        gp = jnp.pad(gp, ((0, nf - n), (0, nf - n), (0, 0)))
+    g7 = gp.reshape(wd, wh, ww, wd, wh, ww, heads)
+    ed = jnp.asarray(_axis_onehot(wd))
+    eh = jnp.asarray(_axis_onehot(wh))
+    ew = jnp.asarray(_axis_onehot(ww))
+    dt = jnp.einsum("abcdefh,uad,vbe,wcf->uvwh", g7, ed, eh, ew,
+                    precision=jax.lax.Precision.HIGHEST)
+    return (dt.reshape((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), heads),)
+
+
+relative_bias_from_table_3d.defvjp(_bias3d_vjp_fwd, _bias3d_vjp_bwd)
+
+
 @functools.lru_cache(maxsize=16)
 def relative_position_index_3d(wd: int, wh: int, ww: int) -> np.ndarray:
     """(N, N) index into the (2wd-1)(2wh-1)(2ww-1) bias table

@@ -39,6 +39,10 @@ class TrainConfig:
     lang_enc_params: str = "encoder-10"
     bert_trainable_layers: int = 10
     loss: str = "cross_entropy"  # see losses.LOSSES
+    # loss-mix rates (reference args.py:82-84)
+    focal_rate: float = 3.0
+    dice_rate: float = 1.0
+    boundary_rate: float = 0.05
     amsgrad: bool = False
     fix_lr: bool = False
     poly_power: float = 0.9

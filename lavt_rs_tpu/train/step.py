@@ -56,7 +56,8 @@ def make_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
     batch: {'image': (B,H,W,3), 'ids': (B,N), 'mask': (B,N),
             'target': (B,H,W) int}
     """
-    loss_fn = get_loss(tcfg.loss)
+    loss_fn = get_loss(tcfg.loss, tcfg.focal_rate, tcfg.dice_rate,
+                       tcfg.boundary_rate)
 
     def compute_loss(params, batch_stats, batch, rng):
         out, mutated = model_train.apply(
@@ -101,7 +102,8 @@ def make_video_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
     batch: {'video': (B,T,H,W,3), 'ids', 'mask', 'target': (B,H,W),
             'valid_index': (B,) int — annotated frame position in clip}
     """
-    loss_fn = get_loss(tcfg.loss)
+    loss_fn = get_loss(tcfg.loss, tcfg.focal_rate, tcfg.dice_rate,
+                       tcfg.boundary_rate)
 
     def compute_loss(params, batch_stats, batch, rng):
         out, mutated = model_train.apply(

@@ -174,3 +174,35 @@ def test_relative_bias_from_table_grad_matches_gather(rng):
     want = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_relative_bias_3d_grad_matches_gather(rng):
+    import jax
+
+    from lavt_rs_tpu.ops.window import (relative_bias_from_table_3d,
+                                        relative_position_index_3d)
+
+    wd, wh, ww, h = 3, 4, 4, 2
+    nf = wd * wh * ww
+    table = jnp.asarray(rng.standard_normal(
+        ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h)).astype(np.float32))
+    for n in (nf, 2 * wh * ww):  # full and clamped ([:n,:n]) windows
+        cot = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+        idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
+
+        fwd = relative_bias_from_table_3d(table, wd, wh, ww, n)
+        want_fwd = np.asarray(table)[idx.reshape(-1)].reshape(n, n, h
+                                                              ).transpose(2, 0, 1)
+        np.testing.assert_allclose(np.asarray(fwd), want_fwd, rtol=0, atol=0)
+
+        def loss(t):
+            return (relative_bias_from_table_3d(t, wd, wh, ww, n) * cot).sum()
+
+        def loss_ref(t):
+            b = t[jnp.asarray(idx.reshape(-1))].reshape(n, n, h)
+            return (b.transpose(2, 0, 1) * cot).sum()
+
+        got = jax.grad(loss)(table)
+        want = jax.grad(loss_ref)(table)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
