@@ -288,17 +288,18 @@ def model_config_from_args(args):
         "t_tanh_plus_1_gate_1_q", "t_tanh_plus_1_gate_1_v"))
     fuse_kernel = None
     branch_fuse = BranchFuse.SUM
+    if tkind == TPWAMKind.TS and not args.tspwam_sum:
+        # TSPWAM defaults to concat + Linear reduce; --cat_reduce_3
+        # swaps the reduce for a (1,3,3) Conv3d
+        branch_fuse = BranchFuse.CAT
+        if args.cat_reduce_3:
+            fuse_kernel = (1, 3, 3)
     if args.sept_sum_3_kernel_size:
         branch_fuse = BranchFuse.SUM_CONV
         fuse_kernel = _k3(args.sept_sum_3_kernel_size)
     if args.sept_cat_reduce_kernel_size:
         branch_fuse = BranchFuse.CAT
         fuse_kernel = _k3(args.sept_cat_reduce_kernel_size)
-    if args.cat_reduce_3:
-        branch_fuse = BranchFuse.CAT
-        fuse_kernel = (3, 3, 3)
-    if args.tspwam_sum:
-        branch_fuse = BranchFuse.SUM
     kernel_t = _k3(args.conv3d_kernel_size_t
                    if args.conv3d_kernel_size_t != "3-1-1"
                    else args.conv3d_kernel_size)
@@ -309,12 +310,10 @@ def model_config_from_args(args):
         self_gate=self_gate,
         w_t3x3_s1x1=args.w_t3x3_s1x1,
         mm_t3x3_s1x1=args.mm_t3x3_s1x1,
+        w_single_conv="3x3" if args.w_3x3 else ("3" if args.w_3 else None),
+        mm_single_conv="3x3" if args.mm_3x3 else
+        ("3" if args.mm_3 else None),
         seq_residual=args.res)
-    if args.w_3 or args.w_3x3 or args.mm_3 or args.mm_3x3:
-        raise NotImplementedError(
-            "--w_3/--w_3x3/--mm_3/--mm_3x3 single-conv W/project_mm "
-            "ablations are not implemented; use --w_t3x3_s1x1 / "
-            "--mm_t3x3_s1x1 (the published configuration)")
 
     return cfg.replace(
         fusion=fusion, tpwam=tpwam, lazy_pred=args.lazy_pred,

@@ -170,6 +170,12 @@ class TPWAMConfig:
     self_gate: bool = False  # (1 + tanh) self-gates on each branch
     w_t3x3_s1x1: bool = True  # decompose out-proj W into W_t + W_s
     mm_t3x3_s1x1: bool = True  # decompose project_mm into t + s branches
+    # Single-conv W / project_mm ablations (reference --w_3/--w_3x3/
+    # --mm_3/--mm_3x3): "3" = Conv3d (1,3,3); "3x3" = Conv3d kernel_t.
+    # Take precedence over the t3x3_s1x1 decompositions, like the
+    # reference's if/elif chain (video_swin_transformer.py:1424-1474).
+    w_single_conv: Optional[str] = None
+    mm_single_conv: Optional[str] = None
     seq_residual: bool = False  # P3D-C residual for SeqTPWAM (--res)
 
 

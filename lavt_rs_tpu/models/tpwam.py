@@ -163,8 +163,14 @@ class SepTPWAM(nn.Module):
         ts_lang = _cross_attention(query, key, value, l_mask,
                                    self.num_heads, self.dim)
 
-        # out projection W (optionally decomposed t3x3 + s1x1)
-        if c.w_t3x3_s1x1:
+        # out projection W: single-conv ablations > t/s decomposition >
+        # Dense+IN (reference precedence, video_swin_transformer.py:1424)
+        if c.w_single_conv:
+            k = c.kernel_t if c.w_single_conv == "3x3" else (1, 3, 3)
+            lang3d = ts_lang.reshape(b, d, h, w, self.dim)
+            ts_lang = ConvIN3D(self.dim, k, dtype=self.dtype, name="W")(
+                lang3d).reshape(b, d * h * w, self.dim)
+        elif c.w_t3x3_s1x1:
             lang3d = ts_lang.reshape(b, d, h, w, self.dim)
             wt = ConvIN3D(self.dim, c.kernel_t, dtype=self.dtype,
                           name="W_t")(lang3d)
@@ -177,7 +183,13 @@ class SepTPWAM(nn.Module):
 
         mm = ts_vis.reshape(b, d * h * w, self.dim) * ts_lang
 
-        if c.mm_t3x3_s1x1:
+        if c.mm_single_conv:
+            k = c.kernel_t if c.mm_single_conv == "3x3" else (1, 3, 3)
+            mm = ConvGELU3D(self.dim, k, self.dropout, dtype=self.dtype,
+                            name="project_mm")(
+                mm.reshape(b, d, h, w, self.dim),
+                deterministic=deterministic).reshape(b, d * h * w, self.dim)
+        elif c.mm_t3x3_s1x1:
             mm3d = mm.reshape(b, d, h, w, self.dim)
             mt = ConvGELU3D(self.dim, c.kernel_t, self.dropout,
                             dtype=self.dtype, name="project_mm_t")(
@@ -203,11 +215,16 @@ class TPWAM(nn.Module):
     dropout: float = 0.0
     kernel: Tuple[int, int, int] = (3, 1, 1)
     all_conv3d: bool = False  # TPWAMComp: W/project_mm also Conv3d
+    # per-part Conv3d kernel overrides (TSPWAM's --mm_3x3 temporal branch)
+    w_conv: Optional[Tuple[int, int, int]] = None
+    mm_conv: Optional[Tuple[int, int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, l, l_mask, *, deterministic: bool = True):
         b, d, h, w, ch = x.shape
+        w_conv = self.w_conv or (self.kernel if self.all_conv3d else None)
+        mm_conv = self.mm_conv or (self.kernel if self.all_conv3d else None)
         vis = ConvGELU3D(self.dim, self.kernel, self.dropout,
                          dtype=self.dtype, name="vis_project")(
                              x, deterministic=deterministic)
@@ -217,17 +234,17 @@ class TPWAM(nn.Module):
         key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
         lang = _cross_attention(query, key, value, l_mask, self.num_heads,
                                 self.dim)
-        if self.all_conv3d:
+        if w_conv is not None:
             lang3d = lang.reshape(b, d, h, w, self.dim)
-            lang = ConvIN3D(self.dim, self.kernel, dtype=self.dtype,
+            lang = ConvIN3D(self.dim, w_conv, dtype=self.dtype,
                             name="W")(lang3d).reshape(b, d * h * w, self.dim)
         else:
             lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(lang)
             lang = instance_norm_tokens(lang)
         mm = vis.reshape(b, d * h * w, self.dim) * lang
-        if self.all_conv3d:
+        if mm_conv is not None:
             mm3d = mm.reshape(b, d, h, w, self.dim)
-            mm = ConvGELU3D(self.dim, self.kernel, self.dropout,
+            mm = ConvGELU3D(self.dim, mm_conv, self.dropout,
                             dtype=self.dtype, name="project_mm")(
                 mm3d, deterministic=deterministic).reshape(
                     b, d * h * w, self.dim)
@@ -239,24 +256,42 @@ class TPWAM(nn.Module):
 
 
 class TSPWAM(nn.Module):
-    """Two full parallel PWAMs — spatial (1x1x1) and temporal (conv3d) —
-    fused by sum (reference video_swin_transformer.py:1061-1183)."""
+    """Two full parallel PWAMs — spatial (1x1, the plain 2D PWAM math) and
+    temporal (Conv3d) — fused by concat+reduce (the reference default) or
+    sum (--tspwam_sum); the reduce is a Linear, or a (1,3,3) Conv3d with
+    --cat_reduce_3 (reference video_swin_transformer.py:1061-1183)."""
 
     dim: int
     num_heads: int = 1
     dropout: float = 0.0
-    kernel: Tuple[int, int, int] = (3, 1, 1)
+    cfg: TPWAMConfig = TPWAMConfig()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        c = self.cfg
+        b, d, h, w, _ = x.shape
         t = TPWAM(dim=self.dim, num_heads=self.num_heads,
-                  dropout=self.dropout, kernel=self.kernel, dtype=self.dtype,
+                  dropout=self.dropout, kernel=c.kernel_t,
+                  mm_conv=(c.kernel_t if c.mm_single_conv == "3x3"
+                           else None),
+                  dtype=self.dtype,
                   name="temporal")(x, l, l_mask, deterministic=deterministic)
         s = TPWAM(dim=self.dim, num_heads=self.num_heads,
                   dropout=self.dropout, kernel=(1, 1, 1), dtype=self.dtype,
                   name="spatial")(x, l, l_mask, deterministic=deterministic)
-        return t + s
+        if c.branch_fuse == BranchFuse.SUM:
+            return t + s
+        out = jnp.concatenate([s, t], axis=-1)  # (B, THW, 2C)
+        if c.fuse_kernel is not None:  # --cat_reduce_3: (1,3,3) Conv3d
+            out = ConvGELU3D(self.dim, c.fuse_kernel, self.dropout,
+                             dtype=self.dtype, name="out_reduce")(
+                out.reshape(b, d, h, w, 2 * self.dim),
+                deterministic=deterministic)
+            return out.reshape(b, d * h * w, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="out_reduce")(out)
+        out = _gelu(out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
 class SeqTPWAM(nn.Module):
@@ -325,7 +360,7 @@ def build_tpwam(cfg: TPWAMConfig, dim: int, num_heads: int, dropout: float,
                      name=name)
     if k == TPWAMKind.TS:
         return TSPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
-                      kernel=cfg.kernel_t, dtype=dtype, name=name)
+                      cfg=cfg, dtype=dtype, name=name)
     if k in (TPWAMKind.SEQ, TPWAMKind.SEP_SEQ, TPWAMKind.SEP_SEQ_INNER):
         return SeqTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
                         kernel_t=cfg.kernel_t, kernel_s=cfg.kernel_s,

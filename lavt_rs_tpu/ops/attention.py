@@ -56,10 +56,10 @@ def window_attention_xla(
 def window_attention(q, k, v, bias, mask=None, scale=None, use_pallas=False):
     """Dispatch between the XLA path and the fused Pallas kernel."""
     if use_pallas:
-        from .pallas.window_attn import (attn_only_supported,
+        from .pallas.window_attn import (attn_fwd_supported,
                                          window_attention_pallas)
 
-        h, n, hd = q.shape[-3:]
-        if attn_only_supported(n, h, hd):
+        nw, h, n, hd = q.shape[-4:]
+        if attn_fwd_supported(nw, n, h, hd):
             return window_attention_pallas(q, k, v, bias, mask, scale)
     return window_attention_xla(q, k, v, bias, mask, scale)

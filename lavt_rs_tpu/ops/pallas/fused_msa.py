@@ -677,9 +677,24 @@ def _vjp_bwd(heads, scale, res, g):
     dattn = jnp.einsum("bwnd,cd->bwnc", gf, wproj.astype(f32))
     do = dattn.reshape(b, nw, n, heads, hd).transpose(0, 1, 3, 2, 4)
 
-    dq, dk, dv, dbias, o = attention_core_bwd(
-        q.astype(f32), k.astype(f32), v.astype(f32), bias, mask,
-        do.astype(f32), float(scale))
+    from .window_attn import attention_core_bwd_supported
+
+    if attention_core_bwd_supported(n, heads, hd, nw):
+        dq, dk, dv, dbias, o = attention_core_bwd(
+            q.astype(f32), k.astype(f32), v.astype(f32), bias, mask,
+            do.astype(f32), float(scale))
+    else:  # plain-XLA attention backward (scores in HBM)
+        s = jnp.einsum("bwhnd,bwhmd->bwhnm", q * scale, k) + bias.astype(f32)
+        if mask is not None:
+            s = s + mask.astype(f32)[None, :, None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bwhnm,bwhmd->bwhnd", p, v)
+        dv = jnp.einsum("bwhnm,bwhnd->bwhmd", p, do)
+        dp = jnp.einsum("bwhnd,bwhmd->bwhnm", do, v)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bwhnm,bwhmd->bwhnd", ds, k) * scale
+        dk = jnp.einsum("bwhnm,bwhnd->bwhmd", ds, q * scale)
+        dbias = ds.sum(axis=(0, 1))
 
     attn_out = o.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
     dwproj = jnp.einsum("bwnc,bwnd->cd", attn_out.astype(f32), gf)

@@ -26,18 +26,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    # blocks: q/k/v (1, 1, h, N, hd); bias (h, N, N); mask (1, N, N)
-    q = q_ref[0, 0].astype(jnp.float32)  # (h, N, hd)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    bias = bias_ref[...].astype(jnp.float32)  # (h, N, N)
+    # blocks: q/k/v (1, cw, hg, N, hd); bias (hg, N, N); mask (cw, N, N).
+    # The window-chunk and head-group dims collapse into one batch dim for
+    # the dots (video geometry has many small windows — per-window steps
+    # are latency-bound there).
+    _, cw, hg, n, hd = q_ref.shape
+    q = q_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
+    k = k_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
+    v = v_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
+    bias = bias_ref[...].astype(jnp.float32)  # (hg, N, N)
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (h, N, N)
-    s = s + bias
+        preferred_element_type=jnp.float32)  # (cw*hg, N, N)
+    s = s.reshape(cw, hg, n, n) + bias[None]
     if mask_ref is not None:
-        s = s + mask_ref[0].astype(jnp.float32)[None, :, :]
+        s = s + mask_ref[...].astype(jnp.float32)[:, None]
+    s = s.reshape(cw * hg, n, n)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -45,8 +50,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     p = e / z
     o = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (h, N, hd)
-    out_ref[0, 0] = o.astype(out_ref.dtype)
+        preferred_element_type=jnp.float32)  # (cw*hg, N, hd)
+    out_ref[0] = o.reshape(cw, hg, n, hd).astype(out_ref.dtype)
 
 
 def _pick_head_group(h: int, n: int, budget: int) -> int:
@@ -59,19 +64,53 @@ def _pick_head_group(h: int, n: int, budget: int) -> int:
     return 1
 
 
-def _attn_fwd_head_group(h: int, n: int, hd: int) -> int:
-    """Head group for the forward kernel: the largest divisor of h whose
-    bias tile stays under ~2 MB, but only if THAT group's double-buffered
-    step footprint also fits ~9 MB — deliberately no fallback to smaller
-    groups: at video geometry (n=392, h=3) an hg=1 grid is 3x b x nW tiny
-    steps and measured 60 ms/step SLOWER than the XLA path at Swin-T
-    8-frame clips. 0 = unsupported (caller falls back to XLA)."""
-    hg = _pick_head_group(h, n, 2 * 1024 * 1024)
-    buf = (hg * n * n * 4          # bias block
-           + hg * n * n * 4        # f32 score tile
-           + n * n * 4             # mask block
-           + 3 * hg * n * hd * 4)  # q/k/v blocks (f32 upper bound)
-    return hg if 2 * buf <= 9 * 1024 * 1024 else 0
+def _attn_tiling(h: int, nw: int, n: int, hd: int, itemsize: int,
+                 score_tiles: int, budget: int):
+    """Joint (head-group, window-chunk) search: maximize the per-step dot
+    batch cw*hg (ties -> larger hg, which amortizes the resident bias)
+    subject to `score_tiles` live f32 (n, n) arrays per batch slot plus
+    the double-buffered I/O blocks fitting `budget` bytes. None when even
+    a single slot overflows.
+
+    Measured on v5e: these kernels win at 2D window sizes (N = 49/144)
+    and LOSE at video windows — N=392 was 245 vs 187 ms/step (XLA) for a
+    Swin-T 8-frame train step even with cw*hg = 4 slots, and N=1152
+    overflows outright — so N > 256 always falls back to XLA (whose
+    pipelined einsums handle the big-but-bandwidth-friendly score
+    tensors better than a latency-bound many-small-steps grid)."""
+    if n > 256:
+        return None
+    best = None
+    for hg in range(h, 0, -1):
+        if h % hg:
+            continue
+        for cw in range(1, nw + 1):
+            if nw % cw:
+                continue
+            slots = cw * hg
+            cost = (hg * n * n * 4                      # bias block
+                    + score_tiles * slots * n * n * 4   # live score tiles
+                    + 2 * cw * n * n * 2                # bf16 mask (dbl-buf)
+                    + 2 * 5 * slots * n * hd * itemsize)  # qkv/o/do blocks
+            if cost <= budget:
+                key = (slots, hg)
+                if best is None or key > best[0]:
+                    best = (key, hg, cw)
+    if best is None:
+        return None
+    _, hg, cw = best
+    if cw * hg < 2 and h * nw > cw * hg:
+        return None  # too little per-step work to beat XLA
+    return hg, cw
+
+
+def _attn_fwd_tiling(h: int, nw: int, n: int, hd: int, itemsize: int = 4):
+    return _attn_tiling(h, nw, n, hd, itemsize, score_tiles=3,
+                        budget=11 * 1024 * 1024)
+
+
+def attn_fwd_supported(nw: int, n: int, heads: int, hd: int) -> bool:
+    return _attn_fwd_tiling(heads, nw, n, hd) is not None
 
 
 def _fwd(q, k, v, bias, mask, scale):
@@ -79,10 +118,10 @@ def _fwd(q, k, v, bias, mask, scale):
     dt = q.dtype
     qs = (q * jnp.asarray(scale, dt))
 
-    hg = _attn_fwd_head_group(h, n, hd)
+    hg, cw = _attn_fwd_tiling(h, nw, n, hd)
 
     def qkv_spec():
-        return pl.BlockSpec((1, 1, hg, n, hd),
+        return pl.BlockSpec((1, cw, hg, n, hd),
                             lambda i, j, g: (i, j, g, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -91,9 +130,9 @@ def _fwd(q, k, v, bias, mask, scale):
                              memory_space=pltpu.VMEM)]
     args = [qs, k, v, bias]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i, j, g: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((cw, n, n), lambda i, j, g: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(mask.astype(jnp.bfloat16))  # 0/-100: exact in bf16
         kernel = _fwd_kernel
     else:
         def kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
@@ -102,9 +141,9 @@ def _fwd(q, k, v, bias, mask, scale):
     flops = 2 * 2 * b * nw * h * n * n * hd
     return pl.pallas_call(
         kernel,
-        grid=(b, nw, h // hg),
+        grid=(b, nw // cw, h // hg),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, hg, n, hd),
+        out_specs=pl.BlockSpec((1, cw, hg, n, hd),
                                lambda i, j, g: (i, j, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nw, h, n, hd), dt),
@@ -135,7 +174,7 @@ def _vjp_bwd(scale, res, g):
     dt = q.dtype
 
     b, nw, h, n, hd = q.shape
-    if attention_core_bwd_supported(n, h, hd):
+    if attention_core_bwd_supported(n, h, hd, nw):
         dq, dk, dv, dbias, _ = attention_core_bwd(
             q, k, v, bias, mask, g, float(scale))
         return (dq.astype(dt), dk.astype(dt), dv.astype(dt),
@@ -169,50 +208,44 @@ def window_attention_pallas(q, k, v, bias, mask=None,
     return _window_attention_pallas(q, k, v, bias, mask, float(scale))
 
 
-def attn_only_supported(n: int, heads: int, hd: int) -> bool:
-    """Whether the attention-only kernel fits VMEM for this window size.
-
-    Head grouping may pick any divisor of h (video Swin-T has 3 heads);
-    window (8, 12, 12)'s n=1152 has a ~5 MB single-head tile — those
-    shapes fall back to the XLA path."""
-    return _attn_fwd_head_group(heads, n, hd) > 0
-
-
 # ---------------------------------------------------------------------------
 # Attention-core backward kernel (used by fused_msa's VJP)
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, o_ref, *, scale: float):
-    """One (head-group, batch, window) step: recompute scores/probs in VMEM
-    and emit dq/dk/dv, the accumulated dbias, and the recomputed attention
-    output o (so the caller's projection grads need no second pass)."""
-    g_idx = pl.program_id(0)
+    """One (head-group, batch, window-chunk) step: recompute scores/probs
+    in VMEM and emit dq/dk/dv, the accumulated dbias, and the recomputed
+    attention output o (so the caller's projection grads need no second
+    pass). Blocks are (1, cw, hg, N, hd) — the chunk and group dims
+    collapse into one batch dim for the dots."""
     i_idx = pl.program_id(1)
     j_idx = pl.program_id(2)
+    _, cw, hg, n, hd = q_ref.shape
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (hg, N, hd)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd) * scale
+    k = k_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
+    v = v_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
+    do = do_ref[0].astype(jnp.float32).reshape(cw * hg, n, hd)
 
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s + bias_ref[...].astype(jnp.float32)
+    s = s.reshape(cw, hg, n, n) + bias_ref[...].astype(jnp.float32)[None]
     if mask_ref is not None:
-        s = s + mask_ref[0].astype(jnp.float32)[None]
+        s = s + mask_ref[...].astype(jnp.float32)[:, None]
+    s = s.reshape(cw * hg, n, n)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (hg, N, N)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (cw*hg, N, N)
 
     o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0] = o.reshape(cw, hg, n, hd).astype(o_ref.dtype)
 
     # dv[m, d] = sum_r p[r, m] * do[r, d]
     dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dv_ref[0] = dv.reshape(cw, hg, n, hd).astype(dv_ref.dtype)
 
     dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
@@ -220,37 +253,36 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
 
     dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = dq.reshape(cw, hg, n, hd).astype(dq_ref.dtype)
     # dk[m, d] = sum_r ds[r, m] * (q*scale)[r, d]
     dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = dk.reshape(cw, hg, n, hd).astype(dk_ref.dtype)
 
-    # dbias accumulates over all (batch, window) steps of this head group;
-    # the group dim is OUTERMOST so visits are consecutive and Mosaic keeps
-    # the block resident.
+    # dbias accumulates over all (batch, window-chunk) steps of this head
+    # group; the group dim is OUTERMOST so visits are consecutive and
+    # Mosaic keeps the block resident.
     @pl.when(jnp.logical_and(i_idx == 0, j_idx == 0))
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    dbias_ref[...] += ds.astype(dbias_ref.dtype)
+    dbias_ref[...] += ds.reshape(cw, hg, n, n).sum(0).astype(
+        dbias_ref.dtype)
 
 
-def attention_core_bwd_supported(n: int, heads: int, hd: int) -> bool:
-    """VMEM gate for attention_core_bwd: the head-group loop can only halve
-    even counts, and the resident f32 tiles (bias + dbias + 4 score-sized
-    temporaries per group) must fit alongside the 9 double-buffered
-    (hg, n, hd) blocks."""
-    hg = _pick_head_group(heads, n, 3 * 1024 * 1024 // 4)
-    if hg < 2:
-        # an hg=1 grid means h x B x nW tiny steps — measured neutral at
-        # best (video n=392: 188 vs 187 ms/step XLA); not worth the
-        # compile time, so fall back to XLA recompute
-        return False
-    buf = (2 * hg * n * n * 4            # bias + dbias blocks
-           + 4 * hg * n * n * 4          # s/p/dp/ds f32 tiles
-           + 9 * 2 * hg * n * hd * 4)    # q/k/v/do + dq/dk/dv/o (dbl-buf)
-    return buf <= 12 * 1024 * 1024
+def _attn_bwd_tiling(h: int, nw: int, n: int, hd: int, itemsize: int = 4):
+    """(head-group, window-chunk) for the backward core kernel, or None.
+    One extra resident (hg, n, n) block vs the forward (the dbias
+    accumulator) and ~4 live score tiles per slot; the 8 MB budget is
+    empirical — Swin-B stage 4 at hg=16 lands at 20.7 MB scoped (OOM)
+    where the estimate says 11, so the budget keeps stage 4 at hg=8."""
+    return _attn_tiling(h, nw, n, hd, itemsize, score_tiles=5,
+                        budget=8 * 1024 * 1024)
+
+
+def attention_core_bwd_supported(n: int, heads: int, hd: int,
+                                 nw: int = 1) -> bool:
+    return _attn_bwd_tiling(heads, nw, n, hd) is not None
 
 
 def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
@@ -264,10 +296,10 @@ def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
     b, nw, h, n, hd = q.shape
     dt = q.dtype
 
-    hg = _pick_head_group(h, n, 3 * 1024 * 1024 // 4)
+    hg, cw = _attn_bwd_tiling(h, nw, n, hd)
 
     def qkv_spec():
-        return pl.BlockSpec((1, 1, hg, n, hd),
+        return pl.BlockSpec((1, cw, hg, n, hd),
                             lambda g, i, j: (i, j, g, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -276,9 +308,9 @@ def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
                              memory_space=pltpu.VMEM)]
     args = [q, k, v, bias]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, n, n), lambda g, i, j: (j, 0, 0),
+        in_specs.append(pl.BlockSpec((cw, n, n), lambda g, i, j: (j, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(mask.astype(jnp.bfloat16))  # 0/-100: exact in bf16
         kernel = functools.partial(_bwd_kernel, scale=scale)
     else:
         def kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
@@ -303,7 +335,7 @@ def attention_core_bwd(q, k, v, bias, mask, do, scale: float):
     flops = 5 * 2 * b * nw * h * n * n * hd
     return pl.pallas_call(
         kernel,
-        grid=(h // hg, b, nw),
+        grid=(h // hg, b, nw // cw),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

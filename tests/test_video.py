@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from lavt_rs_tpu.config import (
-    TPWAMConfig, TPWAMKind, lavt_video_tiny,
+    BranchFuse, TPWAMConfig, TPWAMKind, lavt_video_tiny,
 )
 from lavt_rs_tpu.convert import torch2jax as cv
 from lavt_rs_tpu.models.tpwam import SepTPWAM, build_tpwam
@@ -67,6 +67,29 @@ def test_sep_tpwam_parity(rng):
                                   TPWAMKind.TS, TPWAMKind.SEQ])
 def test_tpwam_variants_smoke(kind, rng):
     cfg = TPWAMConfig(kind=kind, kernel_t=(3, 1, 1))
+    _tpwam_smoke(cfg, rng)
+
+
+@pytest.mark.parametrize("cfg", [
+    # TSPWAM cat+Linear reduce (the reference default), and --cat_reduce_3
+    TPWAMConfig(kind=TPWAMKind.TS, kernel_t=(3, 1, 1),
+                branch_fuse=BranchFuse.CAT),
+    TPWAMConfig(kind=TPWAMKind.TS, kernel_t=(3, 1, 1),
+                branch_fuse=BranchFuse.CAT, fuse_kernel=(1, 3, 3)),
+    # TSPWAM --mm_3x3 temporal project
+    TPWAMConfig(kind=TPWAMKind.TS, kernel_t=(3, 1, 1),
+                branch_fuse=BranchFuse.CAT, mm_single_conv="3x3"),
+    # SepTPWAM single-conv W / project_mm ablations (--w_3x3 / --mm_3)
+    TPWAMConfig(kind=TPWAMKind.SEP, kernel_t=(3, 1, 1),
+                w_single_conv="3x3", mm_single_conv="3"),
+    TPWAMConfig(kind=TPWAMKind.SEP, kernel_t=(3, 1, 1),
+                w_single_conv="3", mm_single_conv="3x3"),
+])
+def test_tpwam_decomposition_options_smoke(cfg, rng):
+    _tpwam_smoke(cfg, rng)
+
+
+def _tpwam_smoke(cfg, rng):
     m = build_tpwam(cfg, dim=8, num_heads=2, dropout=0.0,
                     dtype=jnp.float32)
     x = jnp.asarray(rng.standard_normal((1, 2, 4, 4, 8)).astype(np.float32))
