@@ -50,6 +50,9 @@ def main(argv=None):
         args.checkpoint = args.resume
     model = build_model(cfg)
 
+    if args.dataset == "a2d" and not args.synthetic:
+        return _eval_a2d(args, cfg, model)
+
     if args.synthetic:
         # tiny random model + synthetic 4-ref dataset for a smoke run
         import dataclasses
@@ -191,3 +194,78 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _load_video_variables(args, cfg, model):
+    import jax
+    import jax.numpy as jnp
+
+    if args.checkpoint.endswith((".pth", ".pt")):
+        from ..convert.torch2jax import (convert_lavt_video,
+                                         load_torch_state_dict)
+
+        return jax.tree.map(
+            jnp.asarray,
+            convert_lavt_video(load_torch_state_dict(args.checkpoint), cfg))
+    if args.checkpoint:
+        from ..train.checkpoint import restore_checkpoint
+        from ..train.optim import TrainConfig
+        from ..train.step import create_train_state
+
+        init_vars = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.num_frames, cfg.img_size, cfg.img_size, 3)),
+            jnp.ones((1, cfg.max_tokens), jnp.int32),
+            jnp.ones((1, cfg.max_tokens), jnp.int32))
+        state, _ = create_train_state(model, init_vars, TrainConfig())
+        state, _, _ = restore_checkpoint(args.checkpoint, state)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    print("WARNING: no checkpoint; evaluating random weights",
+          file=sys.stderr)
+    return jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.num_frames, cfg.img_size, cfg.img_size, 3)),
+        jnp.ones((1, cfg.max_tokens), jnp.int32),
+        jnp.ones((1, cfg.max_tokens), jnp.int32))
+
+
+def _eval_a2d(args, cfg, model):
+    """A2D-Sentences evaluation (reference test.py:121-230): per clip,
+    forward, score the annotated frame; optional --a2d_masks PNG dump."""
+    import jax
+
+    from ..data.a2d import A2DSentencesDataset
+    from ..eval.video_eval import evaluate_a2d
+    from ..text.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+    ds = A2DSentencesDataset(
+        args.a2d_data_root, args.a2d_ann, tok, subset=args.split,
+        num_frames=args.num_frames, clip_length=args.clip_length,
+        img_size=args.img_size, max_tokens=cfg.max_tokens)
+    variables = _load_video_variables(args, cfg, model)
+    summary = evaluate_a2d(lambda v, *a: model.apply(v, *a), variables, ds,
+                           max_items=args.max_items or None)
+    print(summary)
+
+    if args.a2d_masks:
+        import os
+
+        import numpy as np
+        from PIL import Image
+        import jax.numpy as jnp
+
+        out = os.path.join(args.output_dir or ".", "a2d_masks")
+        os.makedirs(out, exist_ok=True)
+        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+        n = min(len(ds), args.max_items or 32)
+        for i in range(n):
+            ex = ds[i]
+            logits = fwd(variables, jnp.asarray(ex.video[None]),
+                         jnp.asarray(ex.ids[None].astype(np.int32)),
+                         jnp.asarray(ex.mask[None].astype(np.int32)))
+            pred = np.asarray(logits)[ex.valid_index].argmax(-1)
+            Image.fromarray((pred * 255).astype(np.uint8)).save(
+                os.path.join(out, f"{ex.image_id}.png"))
+        print(f"saved {n} A2D masks to {out}", file=sys.stderr)
+    return summary

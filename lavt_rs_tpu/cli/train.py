@@ -104,15 +104,40 @@ def main(argv=None):
                 args.ytvos_data_root, args.ytvos_ann, tok,
                 num_frames=args.num_frames, img_size=args.img_size,
                 max_tokens=args.max_tokens)
-        else:  # ref_pseudo_video: RefCOCO images as static clips
-            from ..data.pseudo_video import ImageToSeqAugmenter, ReferPseudoVideos
+        elif args.dataset in ("ref_pseudo_video", "joint") or \
+                args.image_combined_3d_pretrain:
+            # RefCOCO images as augmented pseudo-clips; combined-3D
+            # pretraining concatenates the 3 RefCOCO-family datasets
+            # (reference --image_combined_3d_pretrain), and `joint` adds
+            # YTVOS on top (reference data/concat_dataset.py:17-33).
+            from ..data.pseudo_video import (ConcatDataset,
+                                             ImageToSeqAugmenter,
+                                             ReferPseudoVideos)
             from ..data.refer import REFER
 
-            refer = REFER(args.refer_data_root, "refcoco", args.splitBy)
-            train_ds = ReferPseudoVideos(
-                refer, tok, split=args.split, num_frames=args.num_frames,
-                img_size=args.img_size, max_tokens=args.max_tokens,
-                augmenter=ImageToSeqAugmenter(seed=args.seed))
+            combined = (args.dataset == "joint"
+                        or args.image_combined_3d_pretrain)
+            sources = ((("refcoco", "unc"), ("refcoco+", "unc"),
+                        ("refcocog", "umd")) if combined
+                       else (("refcoco", args.splitBy),))
+            parts = []
+            for name, sb in sources:
+                refer = REFER(args.refer_data_root, name, sb)
+                parts.append(ReferPseudoVideos(
+                    refer, tok, split=args.split,
+                    num_frames=args.num_frames, img_size=args.img_size,
+                    max_tokens=args.max_tokens,
+                    augmenter=ImageToSeqAugmenter(seed=args.seed)))
+            if args.dataset == "joint":
+                from ..data.ytvos import YTVOSDataset
+
+                parts.append(YTVOSDataset(
+                    args.ytvos_data_root, args.ytvos_ann, tok,
+                    num_frames=args.num_frames, img_size=args.img_size,
+                    max_tokens=args.max_tokens))
+            train_ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
+        else:
+            raise ValueError(f"unknown video dataset {args.dataset}")
         iters_per_epoch = len(train_ds) // args.batch_size
 
         def epoch_batches(epoch):

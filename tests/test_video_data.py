@@ -133,3 +133,37 @@ def test_ytvos_dataset(ytvos_fixture, tok):
     assert ex.video.shape == (4, 32, 32, 3)
     assert ex.target.sum() > 0
     assert ex.ids[0] == tok.cls_id
+
+
+def test_cli_a2d_eval_path(a2d_fixture, tmp_path):
+    """cli.test --dataset a2d: the reference test.py evaluate_a2d path,
+    including the --a2d_masks PNG dump, driven on the synthetic fixture
+    with a shrunken model."""
+    import dataclasses
+
+    from lavt_rs_tpu.cli.args import model_config_from_args
+    from lavt_rs_tpu.cli.test import _eval_a2d, get_parser
+    from lavt_rs_tpu.config import SwinConfig
+    from lavt_rs_tpu.models.factory import build_model
+
+    root, ann = a2d_fixture
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(VOCAB) + "\n")
+    args = get_parser().parse_args(
+        ["--model", "lavt_video", "--dataset", "a2d", "--split", "train",
+         "--a2d_data_root", root, "--a2d_ann", ann,
+         "--vocab", str(vocab), "--img_size", "32", "--num_frames", "4",
+         "--max_items", "1", "--a2d_masks", "--output-dir", str(tmp_path),
+         "--no_bf16"])
+    cfg = model_config_from_args(args)
+    cfg = cfg.replace(
+        swin=dataclasses.replace(cfg.swin, embed_dim=16,
+                                 depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                                 window_size=4, window_size_3d=(2, 4, 4)),
+        bert=dataclasses.replace(cfg.bert, num_layers=1,
+                                 vocab_size=len(VOCAB)))
+    model = build_model(cfg)
+    summary = _eval_a2d(args, cfg, model)
+    assert "mIoU" in summary and "P@0.5" in summary
+    dumped = list((tmp_path / "a2d_masks").glob("*.png"))
+    assert dumped, "expected an --a2d_masks PNG dump"
