@@ -9,14 +9,17 @@ result written once.
 
 Used for the SwinBlock tail when MLP dropout is inactive (inference, or
 training with drop_rate 0 — the LAVT default); true dropout falls back to
-XLA.  DropPath (stochastic depth) IS supported in-kernel: the per-sample
-keep/scale vector sits in SMEM and each grid chunk scales its MLP branch by
-its sample's factor before the residual add (fused_ln_mlp_droppath), so the
-training forward keeps the single-HBM-pass tail.  Weights are VMEM-resident
-via constant index maps, so the kernel is limited to C <= 512 (Swin-B stage
-4's C=1024 needs 16 MB of fc weights alone).
+XLA.  DropPath (stochastic depth) IS supported in-kernel: a per-row
+keep/scale block scales the MLP branch before the residual add
+(fused_ln_mlp_droppath), so the training forward keeps the
+single-HBM-pass tail.  Weights are VMEM-resident via constant index maps,
+so the kernel is limited to C <= 512 (Swin-B stage 4's C=1024 needs 16 MB
+of fc weights alone).
 
-Backward: recompute-based custom VJP in XLA (same pattern as fused_msa).
+Backward: fused Pallas kernels with VMEM-resident weight-grad
+accumulators — the full kernel at C <= 256, a hidden-split variant (weight
+slices per group, LN backward finished in XLA) at C = 512 — with an
+XLA-recompute fallback outside both gates.
 """
 
 from __future__ import annotations

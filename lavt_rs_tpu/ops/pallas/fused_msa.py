@@ -15,10 +15,13 @@ per-head out-projection slices summed into the (N, C) accumulator
 (concat+proj == sum of per-head projections).  Lane-splitting reshapes like
 (N, 3C) -> (N, 3, h, hd) and 3-D-rhs dots fail Mosaic's layout inference.
 
-Grid is (B, nW); weight blocks use a constant index map so Mosaic keeps
-them resident in VMEM across grid steps.
+Grid is chunks of windows; weight blocks use a constant index map so
+Mosaic keeps them resident in VMEM across grid steps.
 
-Backward: recompute-based custom VJP in XLA.
+Backward: a fully fused Pallas kernel in the same merged lane layout —
+recompute + dx + all weight/bias/bias-table grads accumulated in VMEM,
+head-group-split at wide stages (see _fused_bwd) — with a decomposed
+XLA-GEMMs + attention-core-kernel fallback outside its VMEM gate.
 """
 
 from __future__ import annotations

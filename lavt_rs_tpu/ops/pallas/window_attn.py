@@ -1,17 +1,21 @@
-"""Fused windowed-attention Pallas kernel.
+"""Attention-only windowed-attention Pallas kernels (forward + backward
+core), used where the fully fused MSA kernel (fused_msa.py) cannot hold
+the projection weights in VMEM (Swin-B stage 4, C=1024).
 
-Computes softmax(q·kᵀ·scale + bias + mask)·v entirely in VMEM, one grid
-step per (batch, window), all heads per step.  The XLA path materializes
-the (B, nW, h, N, N) score tensor in HBM (~0.5 GB for Swin-B stage 1 at
-batch 16) and re-reads it around the softmax; fusing removes those HBM
-round trips, which is the dominant cost — window attention is
-bandwidth-bound at these sizes (N ≤ 392, hd = 32).
+Computes softmax(q·kᵀ·scale + bias + mask)·v entirely in VMEM; each grid
+step covers a (window-chunk x head-group) batch of windows.  The XLA path
+materializes the (B, nW, h, N, N) score tensor in HBM (~0.5 GB for Swin-B
+stage 1 at batch 16) and re-reads it around the softmax; fusing removes
+those round trips.  Routing is measurement-gated per shape
+(_attn_tiling): 2D windows (N = 49/144) win; video windows (N >= 392)
+fall back to XLA.
 
 Numerics: scores and softmax in float32 regardless of activation dtype
 (matches ops/attention.py's XLA path); output cast back to the input dtype.
 
-Backward: a custom VJP recomputes attention per window (flash-style, no
-saved score tensor) and accumulates dq, dk, dv in VMEM.
+Backward: the attention-core kernel recomputes probs per chunk (no saved
+score tensor) and emits dq/dk/dv plus the accumulated bias-table grad;
+it is also used by fused_msa's decomposed backward fallback.
 """
 
 from __future__ import annotations
