@@ -319,7 +319,10 @@ def model_config_from_args(args):
         fusion=fusion, tpwam=tpwam, lazy_pred=args.lazy_pred,
         interpolate_before_seg=args.interpolate_before_seg,
         seg_last=args.seg_last, num_frames=args.num_frames,
-        hybrid_2d_3d=getattr(args, "ytvos_2d_swin_3d_pwam", False))
+        # both hybrid flags use the 2D-Swin-backbone layer; they differ in
+        # the fusion module (3D SepTPWAM vs plain 2D PWAM)
+        hybrid_2d_3d=(getattr(args, "ytvos_2d_swin_3d_pwam", False)
+                      or getattr(args, "ytvos_2d_swin_pwam", False)))
 
 
 def train_config_from_args(args, iters_per_epoch: int):

@@ -325,10 +325,21 @@ class Hybrid2D3DLayer(nn.Module):
                 name=f"blocks_{i}")(flat, (h, w), deterministic)
 
         x = flat.reshape(b, d, h, w, c)
-        mm = build_tpwam(self.tpwam, self.dim, self.fusion_heads,
-                         self.fusion.dropout, self.dtype,
-                         name="fusion")(x, l, l_mask,
-                                        deterministic=deterministic)
+        if self.tpwam.kind == TPWAMKind.PWAM2D:
+            # --ytvos_2d_swin_pwam: 2D Swin backbone + plain 2D PWAM over
+            # the flattened clip tokens (reference backbone.py:390-392,
+            # the MMBasicLayer path on (B*T, HW, C) frames)
+            mm = PWAM(dim=self.dim, num_heads=self.fusion_heads,
+                      dropout=self.fusion.dropout,
+                      attention=self.fusion.kind != FusionKind.SIMPLE,
+                      att_norm=self.fusion.att_norm, dtype=self.dtype,
+                      name="fusion")(x.reshape(b, d * h * w, c), l, l_mask,
+                                     deterministic=deterministic)
+        else:
+            mm = build_tpwam(self.tpwam, self.dim, self.fusion_heads,
+                             self.fusion.dropout, self.dtype,
+                             name="fusion")(x, l, l_mask,
+                                            deterministic=deterministic)
         tokens = x.reshape(b, d * h * w, c)
         if self.fusion.gate == GateKind.DEFAULT:
             gate_out = LanguageGate(dim=self.dim, act=self.fusion.lg_act,

@@ -222,3 +222,25 @@ def test_hybrid_2d3d_forward_and_language_sensitivity():
     out2 = fwd(v, vid, ids2, msk)
     # x_out = fusion output (language-conditioned) even with zero-init LG
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
+
+
+def test_hybrid_2d_swin_2d_pwam_forward():
+    """--ytvos_2d_swin_pwam: 2D Swin backbone + plain 2D PWAM on the
+    flattened clip (reference backbone.py:390-392)."""
+    cfg = lavt_video_tiny().replace(
+        img_size=32, max_tokens=4, num_frames=4, hybrid_2d_3d=True,
+        tpwam=TPWAMConfig(kind=TPWAMKind.PWAM2D))
+    cfg = cfg.replace(bert=dataclasses.replace(
+        cfg.bert, vocab_size=60, num_layers=1))
+    model = build_model(cfg)
+    vid = jnp.zeros((1, 4, 32, 32, 3))
+    ids = jnp.ones((1, 4), jnp.int32)
+    msk = jnp.ones((1, 4), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), vid, ids, msk)
+    out = model.apply(v, vid, ids, msk)
+    assert out.shape == (4, 32, 32, 2)
+    # 2D rel-pos tables, not 3D: the backbone really is the 2D Swin
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    tables = [x for kp, x in flat
+              if "relative_position_bias_table" in str(kp)]
+    assert tables and all(t.shape[0] == (2 * 7 - 1) ** 2 for t in tables)
