@@ -76,8 +76,12 @@ def main(argv=None):
 
     videos = load_validation_videos(args.ytvos_data_root, args.split)
     names = sorted(videos.keys())
-    # shard across hosts
+    # shard across hosts; --ngpus N + --local_rank i additionally shards
+    # across manually launched local workers (the reference spawns one
+    # mp.Process per GPU, test_ytvos.py:112-137)
     names = names[jax.process_index()::jax.process_count()]
+    if args.ngpus > 1:
+        names = names[args.local_rank::args.ngpus]
     if args.max_videos:
         names = names[: args.max_videos]
 
