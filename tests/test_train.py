@@ -226,3 +226,62 @@ def test_tensor_parallel_matches_replicated():
     got = np.asarray(fwd(shard_params_tp(mesh, variables),
                          *shard_batch(mesh, (img, ids, msk))))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_syncbn_batch_stats_are_global():
+    """Decoder BatchNorm under a data-sharded jit must update its running
+    stats from the GLOBAL batch (the reference converts to SyncBN,
+    train.py:589) — per-shard stats would differ on a batch whose halves
+    have different distributions."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.config import SwinConfig, lavt_one_tiny
+    from lavt_rs_tpu.models.factory import build_model
+    from lavt_rs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    swin = SwinConfig(embed_dim=48, depths=(1, 1, 2, 1),
+                      num_heads=(3, 6, 12, 24), window_size=7,
+                      drop_path_rate=0.0)
+    cfg = lavt_one_tiny().replace(img_size=32, max_tokens=4, swin=swin)
+    cfg = cfg.replace(bert=dataclasses.replace(cfg.bert, vocab_size=50,
+                                               num_layers=1))
+    model = build_model(cfg, train=True)
+    rng = np.random.default_rng(0)
+    b = 8
+    # deliberately skewed halves: shard-local stats would be wrong
+    img = np.concatenate([
+        rng.standard_normal((b // 2, 32, 32, 3)) * 0.1,
+        rng.standard_normal((b // 2, 32, 32, 3)) * 3.0 + 1.0]).astype(
+            np.float32)
+    ids = rng.integers(0, 50, (b, 4)).astype(np.int32)
+    msk = np.ones((b, 4), np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(img[:1]), jnp.asarray(ids[:1]),
+        jnp.asarray(msk[:1]))
+
+    def fwd(v, image, i, m):
+        _, mut = model.apply(v, image, i, m, deterministic=True,
+                             mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    want = jax.jit(fwd)(variables, jnp.asarray(img), jnp.asarray(ids),
+                        jnp.asarray(msk))
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    got = jax.jit(fwd)(replicate(mesh, variables),
+                       *shard_batch(mesh, (jnp.asarray(img),
+                                           jnp.asarray(ids),
+                                           jnp.asarray(msk))))
+    for (kp, a), (_, b_) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(got))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(want))[0]):
+        np.testing.assert_allclose(a, b_, rtol=5e-3, atol=5e-3,
+                                   err_msg=str(kp))
