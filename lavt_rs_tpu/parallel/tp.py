@@ -83,3 +83,19 @@ def tp_sharding_tree(mesh: Mesh, tree):
             mesh, param_spec(_path_str(key_path), getattr(leaf, "ndim", 0)))
 
     return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_opt_state_zero1(mesh: Mesh, opt_state, data_axis_size: int):
+    """Shard AdamW's first/second moments over the 'data' axis (ZeRO-1:
+    params and grads stay replicated/psum'd; only the optimizer state is
+    partitioned — an 8x memory cut on the moments at dp=8). GSPMD keeps
+    the update math identical; each shard updates its slice and the new
+    params are all-gathered by the consumer."""
+
+    def put(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] % data_axis_size == 0 and shape[0] > 1:
+            return jax.device_put(leaf, NamedSharding(mesh, P("data")))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, opt_state)

@@ -285,3 +285,68 @@ def test_syncbn_batch_stats_are_global():
             jax.tree_util.tree_flatten_with_path(jax.device_get(want))[0]):
         np.testing.assert_allclose(a, b_, rtol=5e-3, atol=5e-3,
                                    err_msg=str(kp))
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """ZeRO-1 moment sharding over 'data' must not change the update."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.config import SwinConfig, lavt_one_tiny
+    from lavt_rs_tpu.models.factory import build_model
+    from lavt_rs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from lavt_rs_tpu.parallel.tp import shard_opt_state_zero1
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    swin = SwinConfig(embed_dim=48, depths=(1, 1, 2, 1),
+                      num_heads=(3, 6, 12, 24), window_size=7,
+                      drop_path_rate=0.0)
+    cfg = lavt_one_tiny().replace(img_size=32, max_tokens=4, swin=swin)
+    cfg = cfg.replace(bert=dataclasses.replace(cfg.bert, vocab_size=50,
+                                               num_layers=1))
+    model = build_model(cfg, train=True)
+    rng = np.random.default_rng(0)
+    b = 8
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((b, 32, 32, 3)),
+                             jnp.float32),
+        "ids": jnp.asarray(rng.integers(0, 50, (b, 4)), jnp.int32),
+        "mask": jnp.ones((b, 4), jnp.int32),
+        "target": jnp.asarray(rng.integers(0, 2, (b, 32, 32)), jnp.int32),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["image"][:1], batch["ids"][:1],
+        batch["mask"][:1])
+    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=100, epochs=1, loss="dice")
+    state, tx = create_train_state(model, variables, tcfg)
+    step = make_train_step(model, tx, tcfg)
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    key = jax.device_put(
+        jax.random.PRNGKey(0),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    sb = shard_batch(mesh, batch)
+
+    s_rep = replicate(mesh, state)
+    s_rep, m_rep = jax.jit(step)(s_rep, sb, key)
+
+    s_z = replicate(mesh, state)
+    s_z = dataclasses.replace(
+        s_z, opt_state=shard_opt_state_zero1(mesh, s_z.opt_state, 8))
+    s_z, m_z = jax.jit(step)(s_z, sb, key)
+
+    np.testing.assert_allclose(float(m_z["loss"]), float(m_rep["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    a = jax.device_get(s_rep.params)
+    b_ = jax.device_get(s_z.params)
+    for (kp, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b_)[0]):
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5,
+                                   err_msg=str(kp))
