@@ -14,7 +14,7 @@ drop-in compatibility and ignored; each says so in its help string.
 from __future__ import annotations
 
 import argparse
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 def _k3(s: str) -> Tuple[int, int, int]:

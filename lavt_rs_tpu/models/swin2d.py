@@ -20,7 +20,7 @@ TPU-first design choices (vs. the reference):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
