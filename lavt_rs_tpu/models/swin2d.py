@@ -138,9 +138,8 @@ class WindowAttention(nn.Module):
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-        # one-hot-contraction form of table[relative_position_index]: the
-        # TPU gather (and its scatter-add transpose in the backward) is far
-        # slower than these two tiny MXU einsums.
+        # gather forward / separable one-hot-contraction backward (the
+        # gather's scatter-add transpose is very slow on TPU)
         bias = relative_bias_from_table(table, wh, ww)  # (h, N, N)
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5

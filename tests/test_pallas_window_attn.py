@@ -221,6 +221,43 @@ def test_fused_msa_grads_decomposed_fallback(rng, monkeypatch):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_fused_msa_grads_head_group_split(rng, monkeypatch):
+    """Grads through the head-group-split fused backward (the Swin-B
+    stage-3 path: per-group weight slices + grad reassembly) must match
+    the reference — forced here by pinning the group count to 2."""
+    import lavt_rs_tpu.ops.pallas.fused_msa as fm
+
+    monkeypatch.setattr(fm, "_pick_head_groups", lambda *a, **k: (2, 1))
+    b, nw, n, c, h = 1, 2, 8, 16, 4
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * .2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * .1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .2)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.6, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def loss_p(x, wqkv, bqkv, wproj, bproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                        mask, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, bqkv, wproj, bproj, bias):
+        return (fm._ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h,
+                                scale) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wqkv, bqkv, wproj, bproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_msa_grads_masked(rng):
     """Grads through the fully fused Pallas backward (dx + all weight/bias
     grads accumulated in one kernel) with an additive shift mask present."""
