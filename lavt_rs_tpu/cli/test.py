@@ -50,7 +50,7 @@ def main(argv=None):
         args.checkpoint = args.resume
     model = build_model(cfg)
 
-    if args.dataset == "a2d" and not args.synthetic:
+    if args.dataset == "a2d":
         return _eval_a2d(args, cfg, model)
 
     if args.synthetic:
@@ -97,11 +97,8 @@ def main(argv=None):
                           max_tokens=args.max_tokens, eval_mode=True)
 
         if args.checkpoint.endswith((".pth", ".pt")):
-            from ..convert.torch2jax import convert_lavt_one_file
-
-            variables = jax.tree.map(jnp.asarray,
-                                     convert_lavt_one_file(args.checkpoint,
-                                                           cfg))
+            variables = jax.tree.map(
+                jnp.asarray, _convert_torch_checkpoint(args.checkpoint, cfg))
         elif args.checkpoint:
             from ..train.checkpoint import restore_checkpoint
             from ..train.optim import TrainConfig
@@ -192,8 +189,23 @@ def main(argv=None):
         print(f"saved decoder features to {args.save_feats}", file=sys.stderr)
 
 
-if __name__ == "__main__":
-    main()
+def _convert_torch_checkpoint(path: str, cfg):
+    """Convert a reference .pth checkpoint, dispatching the converter on the
+    model family (the reference's test.py builds the model by --model name
+    and loads the state dict directly, test.py:273-278)."""
+    from ..convert import torch2jax as t2j
+
+    if cfg.name == "lavt":
+        # two-model checkpoint: {'model': ..., 'bert_model': ...}
+        return t2j.convert_lavt_two_file(path, cfg)
+    sd = t2j.load_torch_state_dict(path)
+    if cfg.name == "lts":
+        return t2j.convert_lts(sd, cfg)
+    if cfg.name in ("vlt", "lavt_vlt"):
+        return t2j.convert_vlt(sd, cfg)
+    if cfg.name == "lavt_video":
+        return t2j.convert_lavt_video(sd, cfg)
+    return t2j.convert_lavt_one(sd, cfg)
 
 
 def _load_video_variables(args, cfg, model):
@@ -231,19 +243,58 @@ def _load_video_variables(args, cfg, model):
 
 def _eval_a2d(args, cfg, model):
     """A2D-Sentences evaluation (reference test.py:121-230): per clip,
-    forward, score the annotated frame; optional --a2d_masks PNG dump."""
+    forward, score the annotated frame; optional --a2d_masks PNG dump.
+    --synthetic runs the same loop on a tiny model + fake clips."""
     import jax
 
-    from ..data.a2d import A2DSentencesDataset
     from ..eval.video_eval import evaluate_a2d
-    from ..text.tokenizer import WordPieceTokenizer
 
-    tok = WordPieceTokenizer.from_vocab_file(args.vocab)
-    ds = A2DSentencesDataset(
-        args.a2d_data_root, args.a2d_ann, tok, subset=args.split,
-        num_frames=args.num_frames, clip_length=args.clip_length,
-        img_size=args.img_size, max_tokens=cfg.max_tokens)
-    variables = _load_video_variables(args, cfg, model)
+    if args.synthetic:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ..config import SwinConfig
+        from ..data.a2d import VideoExample
+        from ..models.factory import build_model
+
+        cfg = cfg.replace(
+            swin=SwinConfig(embed_dim=48, depths=(1, 1, 2, 1),
+                            num_heads=(3, 6, 12, 24),
+                            window_size_3d=(2, 7, 7)),
+            bert=dataclasses.replace(cfg.bert, num_layers=2),
+            img_size=64, max_tokens=8, num_frames=2)
+        model = build_model(cfg)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64, 3)),
+            jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+
+        class FakeA2D:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return VideoExample(
+                    video=rng.standard_normal((2, 64, 64, 3)).astype(
+                        np.float32),
+                    target=rng.integers(0, 2, (64, 64)).astype(np.int32),
+                    valid_index=i % 2, valid=1,
+                    ids=rng.integers(0, 100, (8,)).astype(np.int32),
+                    mask=np.ones((8,), np.int32),
+                    image_id=f"synthetic_{i}")
+
+        ds = FakeA2D()
+    else:
+        from ..data.a2d import A2DSentencesDataset
+        from ..text.tokenizer import WordPieceTokenizer
+
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        ds = A2DSentencesDataset(
+            args.a2d_data_root, args.a2d_ann, tok, subset=args.split,
+            num_frames=args.num_frames, clip_length=args.clip_length,
+            img_size=args.img_size, max_tokens=cfg.max_tokens)
+        variables = _load_video_variables(args, cfg, model)
     summary = evaluate_a2d(lambda v, *a: model.apply(v, *a), variables, ds,
                            max_items=args.max_items or None)
     print(summary)
@@ -251,7 +302,6 @@ def _eval_a2d(args, cfg, model):
     if args.a2d_masks:
         import os
 
-        import numpy as np
         from PIL import Image
         import jax.numpy as jnp
 
@@ -269,3 +319,7 @@ def _eval_a2d(args, cfg, model):
                 os.path.join(out, f"{ex.image_id}.png"))
         print(f"saved {n} A2D masks to {out}", file=sys.stderr)
     return summary
+
+
+if __name__ == "__main__":
+    main()

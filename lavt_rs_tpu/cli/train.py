@@ -207,10 +207,22 @@ def main(argv=None):
     state, tx = create_train_state(model, variables, tcfg)
     start_epoch = 0
     if args.resume:
-        path = (latest_checkpoint(args.resume)
-                if not args.resume.startswith("epoch_") else args.resume)
-        state, _, start_epoch = restore_checkpoint(path, state)
-        print(f"resumed from {path} at epoch {start_epoch}", file=sys.stderr)
+        import os
+
+        # --resume accepts either a specific epoch_NNNN checkpoint dir or a
+        # checkpoint parent dir (newest is taken).
+        path = (args.resume
+                if os.path.basename(os.path.normpath(args.resume)
+                                    ).startswith("epoch_")
+                else latest_checkpoint(args.resume))
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {args.resume}")
+        state, _, resume_epoch = restore_checkpoint(path, state)
+        # continue AFTER the saved epoch (reference train.py:738
+        # `range(max(0, resume_epoch+1), epochs)`)
+        start_epoch = resume_epoch + 1
+        print(f"resumed from {path}; continuing at epoch {start_epoch}",
+              file=sys.stderr)
 
     mesh = make_mesh()
     state = replicate(mesh, state)

@@ -479,6 +479,34 @@ def convert_lavt_file(path: str, cfg: ModelConfig):
     return convert_lavt(model_sd, cfg, bert_sd)
 
 
+def convert_lavt_two(model_sd: FlatDict, bert_sd: FlatDict,
+                     cfg: ModelConfig) -> dict:
+    """Reference `lavt` two-model checkpoint -> variables for
+    models.lavt.LAVTTwo (param tree {'model': ..., 'bert_model': ...},
+    mirroring the reference's separate state dicts, train.py:596-605)."""
+    model_vars, bert_params = convert_lavt(model_sd, cfg, bert_sd)
+    if bert_params is None:
+        raise ValueError("lavt checkpoint is missing the bert_model dict")
+    return {
+        "params": {"model": model_vars["params"],
+                   "bert_model": bert_params},
+        "batch_stats": {"model": model_vars["batch_stats"]},
+    }
+
+
+def convert_lavt_two_file(path: str, cfg: ModelConfig) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    to_np = lambda d: {k: v.detach().numpy() for k, v in d.items()
+                       if hasattr(v, "shape")}
+    if "bert_model" not in ckpt:
+        raise ValueError(f"{path} has no 'bert_model' dict — not a "
+                         "reference `lavt` checkpoint (use lavt_one?)")
+    return convert_lavt_two(to_np(ckpt["model"]), to_np(ckpt["bert_model"]),
+                            cfg)
+
+
 # ---------------------------------------------------------------------------
 # VLT / LTS decoder heads (reference lib/vlt.py:12-485,
 # lib/mask_predictor.py:147-281)

@@ -13,14 +13,16 @@ from typing import Callable, Dict
 import flax.linen as nn
 
 from ..config import ModelConfig, SwinConfig
-from .lavt import LAVT, LAVTOne, LAVTVideo, LTS, VLT
+from .lavt import LAVT, LAVTOne, LAVTTwo, LAVTVideo, LTS, VLT
 
 
 def build_model(cfg: ModelConfig, train: bool = False) -> nn.Module:
     if cfg.name == "lavt_one":
         return LAVTOne(cfg, train_mode=train)
     if cfg.name == "lavt":
-        return LAVT(cfg, train_mode=train)
+        # the two-model variant with BERT attached (trainable end-to-end);
+        # the raw LAVT module (precomputed l_feats) remains importable.
+        return LAVTTwo(cfg, train_mode=train)
     if cfg.name == "lavt_video":
         return LAVTVideo(cfg, train_mode=train)
     if cfg.name == "lts":

@@ -98,6 +98,31 @@ class LAVT(nn.Module):
         return logits
 
 
+class LAVTTwo(nn.Module):
+    """lavt with its external BERT attached as a sibling submodule.
+
+    The reference trains `lavt` as TWO DDP models — the segmentation net and
+    a separate BertModel — checkpointed as {'model': ..., 'bert_model': ...}
+    (reference train.py:596-605, 634-686; test.py threads bert_model through
+    eval).  Here the same structure is one flax module whose param tree has
+    top-level 'model' and 'bert_model' keys, so the reference's two state
+    dicts round-trip through the converter and the one-jitted-program train
+    step works unchanged (same (image, ids, mask) signature as LAVTOne).
+    """
+
+    cfg: ModelConfig
+    train_mode: bool = False
+
+    @nn.compact
+    def __call__(self, image, text_ids, l_mask, *, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        l_feats = BertEncoder(cfg.bert, dtype=dt, name="bert_model")(
+            text_ids, l_mask, deterministic=deterministic)
+        return LAVT(cfg, train_mode=self.train_mode, name="model")(
+            image, l_feats, l_mask, deterministic=deterministic)
+
+
 class LTS(nn.Module):
     """lts: plain Swin backbone (out_indices 1,2,3) + LTSDecoding
     (reference lib/_utils.py:248-273, lib/segmentation.py:229-293)."""

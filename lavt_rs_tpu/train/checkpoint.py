@@ -75,22 +75,35 @@ def prune_checkpoints(ckpt_dir: str, keep: int):
         shutil.rmtree(path, ignore_errors=True)
 
 
-def restore_checkpoint(path: str, target):
-    """Restore a checkpoint saved by save_checkpoint; `target` is an
-    abstract/concrete pytree of the same structure."""
+def restore_checkpoint(path: str, target=None):
+    """Restore a checkpoint saved by save_checkpoint.
+
+    `target` (a concrete or abstract pytree, e.g. a TrainState) supplies the
+    structure to restore INTO — without it orbax returns plain nested dicts
+    and the dataclass wrapper (TrainState) would be lost.  Returns
+    (state, extra, epoch); the reference's resume restores model/opt/epoch
+    the same way (reference train.py:607-612, 723-735).
+    """
     ocp = _ocp()
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+        if target is not None:
+            def _abstract(x):
+                x = np.asarray(x) if not hasattr(x, "dtype") else x
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+            abstract = jax.tree.map(_abstract,
+                                    {"state": target, "epoch": 0})
+            restored = ckptr.restore(path, abstract)
+        else:
+            restored = ckptr.restore(path)
     extra = None
     if os.path.exists(path + ".extra.json"):
         import json
 
         with open(path + ".extra.json") as f:
             extra = json.load(f)
-    # `target` is used for structure reference only; StandardCheckpointer
-    # restores the saved pytree as numpy/jax arrays.
-    return restored["state"], extra, restored["epoch"]
+    return restored["state"], extra, int(restored["epoch"])
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -56,13 +56,16 @@ class TrainConfig:
 
 _NO_DECAY_RE = re.compile(
     r"norm|absolute_pos_embed|relative_position_bias_table")
-_BERT_LAYER_RE = re.compile(r"text_encoder/layer_(\d+)/")
+# 'text_encoder' = integrated BERT (lavt_one etc.); 'bert_model' = the
+# two-model `lavt` variant's external BERT (reference train.py:634-686
+# applies the same lang_enc_params rules to both).
+_BERT_LAYER_RE = re.compile(r"(?:text_encoder|bert_model)/layer_(\d+)/")
 
 
 def label_param(path: str, cfg: TrainConfig) -> str:
     """Assign 'decay' / 'no_decay' / 'frozen' to a flat param path like
     'backbone/layers_0/blocks_0/norm1/scale'."""
-    if path.startswith("text_encoder/"):
+    if path.startswith(("text_encoder/", "bert_model/")):
         enc = cfg.lang_enc_params
         m = _BERT_LAYER_RE.search(path)
         if m is not None:
@@ -75,7 +78,8 @@ def label_param(path: str, cfg: TrainConfig) -> str:
         if enc.startswith("embeddings+"):
             return "decay"
         return "frozen"
-    if path.startswith("backbone/") and _NO_DECAY_RE.search(path):
+    # 'backbone/' may be nested under 'model/' for the two-model lavt
+    if "backbone/" in path and _NO_DECAY_RE.search(path):
         return "no_decay"
     return "decay"
 

@@ -58,11 +58,31 @@ def test_fusion_baselines_forward(kind):
 
 
 def test_lavt_external_bert_forward():
+    """The raw LAVT module takes precomputed language features
+    (reference lib/_utils.py:10-27)."""
+    from lavt_rs_tpu.models.lavt import LAVT
+
     cfg = _tiny_cfg("lavt")
-    model = build_model(cfg)
+    model = LAVT(cfg)
     img = jnp.zeros((1, 64, 64, 3))
     l_feats = jnp.zeros((1, 5, 768))
     msk = jnp.ones((1, 5), jnp.int32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), img, l_feats, msk)
     out = model.apply(v, img, l_feats, msk)
+    assert out.shape == (1, 64, 64, 2)
+
+
+def test_lavt_two_model_forward_and_structure():
+    """build_model('lavt') returns the trainable two-model wrapper whose
+    param tree mirrors the reference's {'model', 'bert_model'} checkpoint
+    dicts (reference train.py:596-605)."""
+    cfg = _tiny_cfg("lavt")
+    model = build_model(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    ids = jnp.ones((1, 5), jnp.int32)
+    msk = jnp.ones((1, 5), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, msk)
+    assert set(v["params"].keys()) == {"model", "bert_model"}
+    assert set(v["params"]["model"].keys()) == {"backbone", "classifier"}
+    out = model.apply(v, img, ids, msk)
     assert out.shape == (1, 64, 64, 2)
