@@ -306,6 +306,7 @@ def model_config_from_args(args):
     tpwam = TPWAMConfig(
         kind=tkind, kernel_t=kernel_t,
         kernel_s=_k3(args.conv3d_kernel_size_s),
+        kernel_sq=_k3(args.conv3d_kernel_size_sq),
         branch_fuse=branch_fuse, fuse_kernel=fuse_kernel,
         self_gate=self_gate,
         w_t3x3_s1x1=args.w_t3x3_s1x1,

@@ -162,6 +162,9 @@ class TPWAMConfig:
     # (reference default for A2D: t=3-3-3, s=1-1-1, README.md:185).
     kernel_t: Tuple[int, int, int] = (3, 3, 3)
     kernel_s: Tuple[int, int, int] = (1, 1, 1)
+    # Spatial kernel of the decoupled *sequential* branch in the sep-seq
+    # variants (reference --conv3d_kernel_size_sq, default 1-3-3).
+    kernel_sq: Tuple[int, int, int] = (1, 3, 3)
     branch_fuse: BranchFuse = BranchFuse.SUM
     # Kernel for the sum-conv / cat-reduce branch fuse (reference
     # --sept_sum_3_kernel_size / --sept_cat_reduce_kernel_size); None

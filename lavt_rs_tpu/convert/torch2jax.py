@@ -359,33 +359,39 @@ def convert_mm_swin3d(sd: FlatDict, cfg: ModelConfig,
                 _set(tree, (lt, bt, "mlp", fc, "bias"),
                      sd[f"{bp}mlp.{fc}.bias"])
 
-        # SepTPWAM fusion weights (skipped when importing from 2D)
+        # 3D-PWAM fusion weights (skipped when importing from 2D).  The
+        # Conv3d list covers the whole variant family: SepTPWAM's t/s
+        # branches, the inner variants' single 1x1x1 outer conv, the
+        # sep-seq decoupled `_q` branch (reference
+        # video_swin_transformer.py:1822-2089), and TPWAM/TPWAMComp's
+        # single-conv projections (1186-1297).
         fp = f"{lp}fusion."
         if not (from_2d and drop_fusion):
-            if f"{fp}temporal_vis_project.0.weight" in sd:
-                for src, dst in (
-                        ("temporal_vis_project.0", ("temporal_vis_project", "conv")),
-                        ("spatial_vis_project.0", ("spatial_vis_project", "conv")),
-                        ("f_query_t.0", ("f_query_t", "conv")),
-                        ("f_query_s.0", ("f_query_s", "conv")),
-                        ("W_t.0", ("W_t", "conv")),
-                        ("W_s.0", ("W_s", "conv")),
-                        ("project_mm_t.0", ("project_mm_t", "conv")),
-                        ("project_mm_s.0", ("project_mm_s", "conv"))):
-                    if f"{fp}{src}.weight" not in sd:
-                        continue
-                    _set(tree, (lt, "fusion") + dst + ("kernel",),
-                         _conv3d(sd[f"{fp}{src}.weight"]))
-                    _set(tree, (lt, "fusion") + dst + ("bias",),
+            for name in ("temporal_vis_project", "spatial_vis_project",
+                         "temporal_vis_project_q", "spatial_vis_project_q",
+                         "vis_project", "f_query",
+                         "f_query_t", "f_query_s",
+                         "f_query_t_q", "f_query_s_q",
+                         "W_t", "W_s", "project_mm_t", "project_mm_s",
+                         # TPWAMComp / --w_3x3 / --mm_3x3 make W and
+                         # project_mm Conv3d (5-dim) instead of Conv1d
+                         "W", "project_mm"):
+                wkey = f"{fp}{name}.0.weight"
+                if wkey not in sd or sd[wkey].ndim != 5:
+                    continue
+                _set(tree, (lt, "fusion", name, "conv", "kernel"),
+                     _conv3d(sd[wkey]))
+                _set(tree, (lt, "fusion", name, "conv", "bias"),
+                     sd[f"{fp}{name}.0.bias"])
+            for src, dst in (("f_key.0", "f_key"),
+                             ("f_value.0", "f_value"),
+                             ("W.0", "W"), ("project_mm.0", "project_mm")):
+                wkey = f"{fp}{src}.weight"
+                if wkey in sd and sd[wkey].ndim != 5:
+                    _set(tree, (lt, "fusion", dst, "kernel"),
+                         _lin(sd[wkey]))
+                    _set(tree, (lt, "fusion", dst, "bias"),
                          sd[f"{fp}{src}.bias"])
-                for src, dst in (("f_key.0", "f_key"),
-                                 ("f_value.0", "f_value"),
-                                 ("W.0", "W"), ("project_mm.0", "project_mm")):
-                    if f"{fp}{src}.weight" in sd:
-                        _set(tree, (lt, "fusion", dst, "kernel"),
-                             _lin(sd[f"{fp}{src}.weight"]))
-                        _set(tree, (lt, "fusion", dst, "bias"),
-                             sd[f"{fp}{src}.bias"])
 
         if f"{lp}res_gate.0.weight" in sd:
             _set(tree, (lt, "res_gate", "fc1", "kernel"),

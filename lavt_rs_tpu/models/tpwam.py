@@ -205,6 +205,112 @@ class SepTPWAM(nn.Module):
         return mm
 
 
+class SepTPWAMInner(nn.Module):
+    """Inner-query-only decoupling (reference
+    video_swin_transformer.py:1587-1694): the OUTER vis projection is a
+    single 1x1x1 Conv3d (no temporal branch, lines 1602-1606); only the
+    inner attention query gets parallel temporal (kernel_t) + spatial
+    (kernel_s) ConvIN branches, summed.  W and project_mm are the plain
+    token-wise Conv1d(+IN)/Conv1d+GELU pair."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    kernel_t: Tuple[int, int, int] = (3, 1, 1)
+    kernel_s: Tuple[int, int, int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        b, d, h, w, ch = x.shape
+        vis = ConvGELU3D(self.dim, (1, 1, 1), self.dropout, dtype=self.dtype,
+                         name="spatial_vis_project")(
+                             x, deterministic=deterministic)
+
+        q_t = ConvIN3D(self.dim, self.kernel_t, dtype=self.dtype,
+                       name="f_query_t")(x)
+        q_s = ConvIN3D(self.dim, self.kernel_s, dtype=self.dtype,
+                       name="f_query_s")(x)
+        query = (q_t + q_s).reshape(b, d * h * w, self.dim)
+
+        key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
+        lang = _cross_attention(query, key, value, l_mask, self.num_heads,
+                                self.dim)
+        lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(lang)
+        lang = instance_norm_tokens(lang)
+        mm = vis.reshape(b, d * h * w, self.dim) * lang
+        mm = nn.Dense(self.dim, dtype=self.dtype, name="project_mm")(mm)
+        mm = _gelu(mm)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(mm)
+
+
+class SepSeqTPWAM(nn.Module):
+    """Decoupled-sequential + parallel-spatial PWAM (reference
+    video_swin_transformer.py:1822-1964; the `inner_only` flavor is
+    SepSeqTPWAMInner, 1967-2089).
+
+    The sequential branch runs a spatial conv with its OWN kernel
+    (kernel_sq, reference --conv3d_kernel_size_sq) followed by the temporal
+    conv (kernel_t); `residual` adds the P3D-C residual *within* that
+    branch (--res).  A parallel plain spatial branch (kernel_s) is summed
+    in.  With `inner_only`, the outer vis projection collapses to a single
+    1x1x1 conv and only the query keeps the decoupled structure."""
+
+    dim: int
+    num_heads: int = 1
+    dropout: float = 0.0
+    kernel_t: Tuple[int, int, int] = (3, 1, 1)
+    kernel_s: Tuple[int, int, int] = (1, 1, 1)
+    kernel_sq: Tuple[int, int, int] = (1, 1, 1)
+    residual: bool = False
+    inner_only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, l, l_mask, *, deterministic: bool = True):
+        b, d, h, w, ch = x.shape
+        if self.inner_only:
+            vis = ConvGELU3D(self.dim, (1, 1, 1), self.dropout,
+                             dtype=self.dtype, name="spatial_vis_project")(
+                                 x, deterministic=deterministic)
+        else:
+            s_q = ConvGELU3D(self.dim, self.kernel_sq, self.dropout,
+                             dtype=self.dtype,
+                             name="spatial_vis_project_q")(
+                                 x, deterministic=deterministic)
+            t_q = ConvGELU3D(self.dim, self.kernel_t, self.dropout,
+                             dtype=self.dtype,
+                             name="temporal_vis_project_q")(
+                                 s_q, deterministic=deterministic)
+            if self.residual:
+                t_q = s_q + t_q
+            s_vis = ConvGELU3D(self.dim, self.kernel_s, self.dropout,
+                               dtype=self.dtype,
+                               name="spatial_vis_project")(
+                                   x, deterministic=deterministic)
+            vis = t_q + s_vis
+
+        q_s_q = ConvIN3D(self.dim, self.kernel_sq, dtype=self.dtype,
+                         name="f_query_s_q")(x)
+        q_t = ConvIN3D(self.dim, self.kernel_t, dtype=self.dtype,
+                       name="f_query_t_q")(q_s_q)
+        if self.residual:
+            q_t = q_s_q + q_t
+        q_s = ConvIN3D(self.dim, self.kernel_s, dtype=self.dtype,
+                       name="f_query_s")(x)
+        query = (q_t + q_s).reshape(b, d * h * w, self.dim)
+
+        key, value = _lang_kv(l, l_mask, self.dim, self.dtype)
+        lang = _cross_attention(query, key, value, l_mask, self.num_heads,
+                                self.dim)
+        lang = nn.Dense(self.dim, dtype=self.dtype, name="W")(lang)
+        lang = instance_norm_tokens(lang)
+        mm = vis.reshape(b, d * h * w, self.dim) * lang
+        mm = nn.Dense(self.dim, dtype=self.dtype, name="project_mm")(mm)
+        mm = _gelu(mm)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(mm)
+
+
 class TPWAM(nn.Module):
     """Single-branch 3D-conv PWAM (reference
     video_swin_transformer.py:1186-1236): PWAM with the outer vis projection
@@ -344,13 +450,9 @@ def build_tpwam(cfg: TPWAMConfig, dim: int, num_heads: int, dropout: float,
         return SepTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
                         cfg=cfg, dtype=dtype, name=name)
     if k == TPWAMKind.SEP_INNER:
-        # inner-query-only decoupling: SepTPWAM minus the outer split —
-        # modeled as SepTPWAM with plain Dense W / project_mm
-        inner = TPWAMConfig(kind=k, kernel_t=cfg.kernel_t,
-                            kernel_s=cfg.kernel_s, branch_fuse=cfg.branch_fuse,
-                            w_t3x3_s1x1=False, mm_t3x3_s1x1=False)
-        return SepTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
-                        cfg=inner, dtype=dtype, name=name)
+        return SepTPWAMInner(dim=dim, num_heads=num_heads, dropout=dropout,
+                             kernel_t=cfg.kernel_t, kernel_s=cfg.kernel_s,
+                             dtype=dtype, name=name)
     if k == TPWAMKind.T:
         return TPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
                      kernel=cfg.kernel_t, dtype=dtype, name=name)
@@ -361,8 +463,15 @@ def build_tpwam(cfg: TPWAMConfig, dim: int, num_heads: int, dropout: float,
     if k == TPWAMKind.TS:
         return TSPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
                       cfg=cfg, dtype=dtype, name=name)
-    if k in (TPWAMKind.SEQ, TPWAMKind.SEP_SEQ, TPWAMKind.SEP_SEQ_INNER):
+    if k == TPWAMKind.SEQ:
         return SeqTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
                         kernel_t=cfg.kernel_t, kernel_s=cfg.kernel_s,
                         residual=cfg.seq_residual, dtype=dtype, name=name)
+    if k in (TPWAMKind.SEP_SEQ, TPWAMKind.SEP_SEQ_INNER):
+        return SepSeqTPWAM(dim=dim, num_heads=num_heads, dropout=dropout,
+                           kernel_t=cfg.kernel_t, kernel_s=cfg.kernel_s,
+                           kernel_sq=cfg.kernel_sq,
+                           residual=cfg.seq_residual,
+                           inner_only=(k == TPWAMKind.SEP_SEQ_INNER),
+                           dtype=dtype, name=name)
     raise ValueError(f"unknown 3D PWAM kind: {k}")

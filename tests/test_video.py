@@ -62,9 +62,85 @@ def test_sep_tpwam_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def _tpwam_params_from_oracle(om):
+    """Oracle state_dict -> flax params with the production converter's
+    layout rules (Conv3d -> {'conv': ...}; 1x1 Conv1d -> Dense)."""
+    sd = {k: v.detach().numpy() for k, v in om.state_dict().items()}
+    params = {}
+    for name, w in sd.items():
+        if not name.endswith(".0.weight"):
+            continue
+        mod = name[:-len(".0.weight")]
+        b = sd[f"{mod}.0.bias"]
+        if w.ndim == 5:
+            params[mod] = {"conv": {"kernel": cv._conv3d(w), "bias": b}}
+        else:
+            params[mod] = {"kernel": cv._lin(w), "bias": b}
+    return params
+
+
+def _tpwam_parity_inputs(rng, dim=16, l_in=24, B=2, D=3, H=4, W=4, NL=5):
+    x = rng.standard_normal((B, D, H, W, dim)).astype(np.float32)
+    l = rng.standard_normal((B, NL, l_in)).astype(np.float32)
+    mask = np.ones((B, NL), np.float32)
+    mask[0, 3:] = 0
+    return x, l, mask
+
+
+def _tpwam_oracle_out(om, x, l, mask):
+    om.eval()
+    with torch.no_grad():
+        return om(torch.from_numpy(x),
+                  torch.from_numpy(np.ascontiguousarray(l.transpose(0, 2, 1))),
+                  torch.from_numpy(mask[:, :, None])).numpy()
+
+
+def test_sep_tpwam_inner_parity(rng):
+    """SepTPWAMInner: 1x1x1 outer conv + parallel inner t/s query branches
+    (reference video_swin_transformer.py:1587-1694)."""
+    from lavt_rs_tpu.models.tpwam import SepTPWAMInner
+
+    torch.manual_seed(0)
+    x, l, mask = _tpwam_parity_inputs(rng)
+    om = oracle.SepTPWAMInnerOracle(16, 24, heads=2, kt=(3, 1, 1),
+                                    ks=(1, 1, 1))
+    want = _tpwam_oracle_out(om, x, l, mask)
+    m = SepTPWAMInner(dim=16, num_heads=2, kernel_t=(3, 1, 1),
+                      kernel_s=(1, 1, 1))
+    got = np.asarray(m.apply({"params": _tpwam_params_from_oracle(om)},
+                             jnp.asarray(x), jnp.asarray(l),
+                             jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("inner,res", [(False, False), (False, True),
+                                       (True, False), (True, True)])
+def test_sep_seq_tpwam_parity(rng, inner, res):
+    """SepSeqTPWAM(+Inner): decoupled sq->t sequential branch (own
+    kernel_sq, optional P3D-C residual) + parallel spatial branch
+    (reference video_swin_transformer.py:1822-2089)."""
+    from lavt_rs_tpu.models.tpwam import SepSeqTPWAM
+
+    torch.manual_seed(1)
+    x, l, mask = _tpwam_parity_inputs(rng)
+    om = oracle.SepSeqTPWAMOracle(16, 24, heads=2, kt=(3, 1, 1),
+                                  ks=(1, 1, 1), ksq=(1, 3, 3), res=res,
+                                  inner=inner)
+    want = _tpwam_oracle_out(om, x, l, mask)
+    m = SepSeqTPWAM(dim=16, num_heads=2, kernel_t=(3, 1, 1),
+                    kernel_s=(1, 1, 1), kernel_sq=(1, 3, 3),
+                    residual=res, inner_only=inner)
+    got = np.asarray(m.apply({"params": _tpwam_params_from_oracle(om)},
+                             jnp.asarray(x), jnp.asarray(l),
+                             jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("kind", [TPWAMKind.SEP, TPWAMKind.SEP_INNER,
                                   TPWAMKind.T, TPWAMKind.T_COMP,
-                                  TPWAMKind.TS, TPWAMKind.SEQ])
+                                  TPWAMKind.TS, TPWAMKind.SEQ,
+                                  TPWAMKind.SEP_SEQ,
+                                  TPWAMKind.SEP_SEQ_INNER])
 def test_tpwam_variants_smoke(kind, rng):
     cfg = TPWAMConfig(kind=kind, kernel_t=(3, 1, 1))
     _tpwam_smoke(cfg, rng)
@@ -244,3 +320,53 @@ def test_hybrid_2d_swin_2d_pwam_forward():
     tables = [x for kp, x in flat
               if "relative_position_bias_table" in str(kp)]
     assert tables and all(t.shape[0] == (2 * 7 - 1) ** 2 for t in tables)
+
+
+def test_convert_mm_swin3d_sep_seq_fusion_keys():
+    """The production 3D converter maps the sep-seq decoupled `_q` branch
+    and the inner variants' single outer conv (round-1 missing #1)."""
+    from lavt_rs_tpu.config import ModelConfig, SwinConfig
+
+    c = 8
+    sd = {
+        "patch_embed.proj.weight": np.zeros((c, 3, 1, 4, 4), np.float32),
+        "patch_embed.proj.bias": np.zeros(c, np.float32),
+    }
+    bp = "layers.0.blocks.0."
+    for n in ("norm1", "norm2"):
+        sd[f"{bp}{n}.weight"] = np.ones(c, np.float32)
+        sd[f"{bp}{n}.bias"] = np.zeros(c, np.float32)
+    sd[f"{bp}attn.relative_position_bias_table"] = np.zeros((27, 2),
+                                                            np.float32)
+    sd[f"{bp}attn.qkv.weight"] = np.zeros((3 * c, c), np.float32)
+    sd[f"{bp}attn.qkv.bias"] = np.zeros(3 * c, np.float32)
+    sd[f"{bp}attn.proj.weight"] = np.zeros((c, c), np.float32)
+    sd[f"{bp}attn.proj.bias"] = np.zeros(c, np.float32)
+    for fc, i, o in (("fc1", c, 4 * c), ("fc2", 4 * c, c)):
+        sd[f"{bp}mlp.{fc}.weight"] = np.zeros((o, i), np.float32)
+        sd[f"{bp}mlp.{fc}.bias"] = np.zeros(o, np.float32)
+    fp = "layers.0.fusion."
+    for name, k in (("temporal_vis_project_q", (3, 1, 1)),
+                    ("spatial_vis_project_q", (1, 3, 3)),
+                    ("spatial_vis_project", (1, 1, 1)),
+                    ("f_query_t_q", (3, 1, 1)),
+                    ("f_query_s_q", (1, 3, 3)),
+                    ("f_query_s", (1, 1, 1))):
+        sd[f"{fp}{name}.0.weight"] = np.zeros((c, c) + k, np.float32)
+        sd[f"{fp}{name}.0.bias"] = np.zeros(c, np.float32)
+    for name in ("f_key", "f_value", "W", "project_mm"):
+        sd[f"{fp}{name}.0.weight"] = np.zeros((c, c, 1), np.float32)
+        sd[f"{fp}{name}.0.bias"] = np.zeros(c, np.float32)
+
+    cfg = ModelConfig(name="lavt_video", swin=SwinConfig(
+        embed_dim=c, depths=(1,), num_heads=(2,), out_indices=(),
+        window_size_3d=(2, 2, 2)))
+    tree = cv.convert_mm_swin3d(sd, cfg, prefix="")
+    fusion = tree["layers_0"]["fusion"]
+    for name in ("temporal_vis_project_q", "spatial_vis_project_q",
+                 "spatial_vis_project", "f_query_t_q", "f_query_s_q",
+                 "f_query_s"):
+        assert "conv" in fusion[name], name
+        assert fusion[name]["conv"]["kernel"].ndim == 5, name
+    for name in ("f_key", "f_value", "W", "project_mm"):
+        assert fusion[name]["kernel"].shape == (c, c), name

@@ -202,6 +202,120 @@ class SimpleDecodingOracle(nn.Module):
         return self.conv1_1(x)
 
 
+def _tpwam_cross_attn(query, key_mod, value_mod, l, l_mask, heads, C):
+    """The shared 3D-PWAM attention tail: masked K/V, multi-head scaled dot
+    product with the 1e4 mask trick. query: (B, THW, C); l: (B, l_in, N_l);
+    l_mask: (B, 1, N_l). Returns (B, THW, C)."""
+    B, THW = query.shape[:2]
+    key = key_mod(l) * l_mask
+    value = value_mod(l) * l_mask
+    n_l = value.size(-1)
+    h = heads
+    query = query.reshape(B, THW, h, C // h).permute(0, 2, 1, 3)
+    key = key.reshape(B, h, C // h, n_l)
+    value = value.reshape(B, h, C // h, n_l)
+    sim = torch.matmul(query, key) * (C ** -0.5)
+    sim = sim + (1e4 * l_mask.unsqueeze(1) - 1e4)
+    sim = F.softmax(sim, dim=-1)
+    lang = torch.matmul(sim, value.permute(0, 1, 3, 2))
+    return lang.permute(0, 2, 1, 3).reshape(B, THW, C)
+
+
+class SepTPWAMInnerOracle(nn.Module):
+    """Inner-query-only decoupling: 1x1x1 outer vis conv; parallel t/s
+    ConvIN query branches summed; Conv1d+IN W; Conv1d+GELU project_mm."""
+
+    def __init__(self, dim, l_in=768, heads=1, kt=(3, 1, 1), ks=(1, 1, 1)):
+        super().__init__()
+        self.heads, self.dim = heads, dim
+        pt = tuple(k // 2 for k in kt)
+        ps = tuple(k // 2 for k in ks)
+        self.spatial_vis_project = nn.Sequential(
+            nn.Conv3d(dim, dim, 1, 1, 0), nn.GELU())
+        self.f_query_t = nn.Sequential(nn.Conv3d(dim, dim, kt, 1, pt),
+                                       nn.InstanceNorm3d(dim))
+        self.f_query_s = nn.Sequential(nn.Conv3d(dim, dim, ks, 1, ps),
+                                       nn.InstanceNorm3d(dim))
+        self.f_key = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.f_value = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.W = nn.Sequential(nn.Conv1d(dim, dim, 1),
+                               nn.InstanceNorm1d(dim))
+        self.project_mm = nn.Sequential(nn.Conv1d(dim, dim, 1), nn.GELU())
+
+    def forward(self, x, l, l_mask):
+        B, D, H, W, C = x.shape
+        x = x.permute(0, 4, 1, 2, 3)
+        vis = self.spatial_vis_project(x).view(B, C, D * H * W)
+        l_mask = l_mask.permute(0, 2, 1)
+        query = (self.f_query_t(x) + self.f_query_s(x))
+        query = query.permute(0, 2, 3, 4, 1).reshape(B, D * H * W, C)
+        lang = _tpwam_cross_attn(query, self.f_key, self.f_value, l, l_mask,
+                                 self.heads, C)
+        lang = self.W(lang.permute(0, 2, 1))
+        mm = self.project_mm(vis * lang)
+        return mm.permute(0, 2, 1)
+
+
+class SepSeqTPWAMOracle(nn.Module):
+    """Decoupled sequential (sq->t, own kernel_sq, optional res) + parallel
+    spatial branch, for both outer vis projection and inner query; the
+    `inner` flavor collapses the outer to a single 1x1x1 conv."""
+
+    def __init__(self, dim, l_in=768, heads=1, kt=(3, 1, 1), ks=(1, 1, 1),
+                 ksq=(1, 3, 3), res=False, inner=False):
+        super().__init__()
+        self.heads, self.dim, self.res, self.inner = heads, dim, res, inner
+        pt = tuple(k // 2 for k in kt)
+        ps = tuple(k // 2 for k in ks)
+        psq = tuple(k // 2 for k in ksq)
+        if inner:
+            self.spatial_vis_project = nn.Sequential(
+                nn.Conv3d(dim, dim, 1, 1, 0), nn.GELU())
+        else:
+            self.temporal_vis_project_q = nn.Sequential(
+                nn.Conv3d(dim, dim, kt, 1, pt), nn.GELU())
+            self.spatial_vis_project_q = nn.Sequential(
+                nn.Conv3d(dim, dim, ksq, 1, psq), nn.GELU())
+            self.spatial_vis_project = nn.Sequential(
+                nn.Conv3d(dim, dim, ks, 1, ps), nn.GELU())
+        self.f_query_t_q = nn.Sequential(nn.Conv3d(dim, dim, kt, 1, pt),
+                                         nn.InstanceNorm3d(dim))
+        self.f_query_s_q = nn.Sequential(nn.Conv3d(dim, dim, ksq, 1, psq),
+                                         nn.InstanceNorm3d(dim))
+        self.f_query_s = nn.Sequential(nn.Conv3d(dim, dim, ks, 1, ps),
+                                       nn.InstanceNorm3d(dim))
+        self.f_key = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.f_value = nn.Sequential(nn.Conv1d(l_in, dim, 1))
+        self.W = nn.Sequential(nn.Conv1d(dim, dim, 1),
+                               nn.InstanceNorm1d(dim))
+        self.project_mm = nn.Sequential(nn.Conv1d(dim, dim, 1), nn.GELU())
+
+    def forward(self, x, l, l_mask):
+        B, D, H, W, C = x.shape
+        x = x.permute(0, 4, 1, 2, 3)
+        if self.inner:
+            vis = self.spatial_vis_project(x)
+        else:
+            s_q = self.spatial_vis_project_q(x)
+            t_q = self.temporal_vis_project_q(s_q)
+            if self.res:
+                t_q = s_q + t_q
+            vis = t_q + self.spatial_vis_project(x)
+        vis = vis.view(B, C, D * H * W)
+        l_mask = l_mask.permute(0, 2, 1)
+        q_s_q = self.f_query_s_q(x)
+        q_t = self.f_query_t_q(q_s_q)
+        if self.res:
+            q_t = q_s_q + q_t
+        query = q_t + self.f_query_s(x)
+        query = query.permute(0, 2, 3, 4, 1).reshape(B, D * H * W, C)
+        lang = _tpwam_cross_attn(query, self.f_key, self.f_value, l, l_mask,
+                                 self.heads, C)
+        lang = self.W(lang.permute(0, 2, 1))
+        mm = self.project_mm(vis * lang)
+        return mm.permute(0, 2, 1)
+
+
 class SepTPWAMOracle(nn.Module):
     """SepTPWAM with the A2D defaults: kernel_t, kernel_s branches, sum
     fuse, W and project_mm decomposed into t(3,3,3)+s(1,1,1)."""
