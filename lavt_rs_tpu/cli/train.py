@@ -36,11 +36,15 @@ def get_parser():
     return p
 
 
-def synthetic_batches(args, steps, rng, video: bool = False):
+def synthetic_batches(args, steps, rng, video: bool = False,
+                      vocab_size: int = 30522):
+    # ids must stay in-vocab: flax Embed gathers with NaN fill for
+    # out-of-bounds indices, which poisons the whole loss.
+    hi = min(30000, vocab_size - 1)
     for _ in range(steps):
         batch = {
             "ids": rng.integers(
-                0, 30000, (args.batch_size, args.max_tokens)
+                1, hi, (args.batch_size, args.max_tokens)
             ).astype(np.int32),
             "mask": np.ones((args.batch_size, args.max_tokens), np.int32),
             "target": rng.integers(
@@ -85,7 +89,8 @@ def main(argv=None):
 
         def epoch_batches(epoch):
             return synthetic_batches(args, args.synthetic_steps, rng,
-                                     video=video)
+                                     video=video,
+                                     vocab_size=cfg.bert.vocab_size)
     elif video:
         from ..text.tokenizer import WordPieceTokenizer
 
@@ -196,13 +201,18 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), jnp.asarray(vis0),
         jnp.asarray(b0["ids"]), jnp.asarray(b0["mask"]))
 
-    if args.pretrained_swin_weights:
-        from ..convert.torch2jax import convert_lavt_one_file
+    # pretrained-weight imports (the reference's 5 init flags; each merges
+    # a converted partial tree non-strictly into the fresh init)
+    import os as _os
 
-        print(f"converting torch checkpoint {args.pretrained_swin_weights}",
-              file=sys.stderr)
-        converted = convert_lavt_one_file(args.pretrained_swin_weights, cfg)
-        variables = jax.tree.map(jnp.asarray, converted)
+    if (args.pretrained_swin_weights or args.pretrained2d_lavt_weights
+            or args.pretrained2d_lavt_weights_for_a_3d_model
+            or args.pretrained_video_lavt_weights_on_refcocos
+            or (args.ck_bert and _os.path.isfile(args.ck_bert))):
+        from ..convert.pretrained import apply_pretrained_flags
+
+        variables = jax.tree.map(
+            jnp.asarray, apply_pretrained_flags(variables, cfg, args))
 
     state, tx = create_train_state(model, variables, tcfg)
     start_epoch = 0

@@ -169,6 +169,14 @@ def convert_mm_swin2d(sd: FlatDict, cfg: ModelConfig,
         _set(tree, ("patch_embed", "norm", "bias"),
              sd[f"{p}patch_embed.norm.bias"])
 
+    # absolute position embedding: torch (1, L, C) -> NHWC (1, S, S, C)
+    # (reference mmcv_custom/checkpoint.py:330-339 reshape)
+    if f"{p}absolute_pos_embed" in sd:
+        ape = sd[f"{p}absolute_pos_embed"]
+        s = int(round(ape.shape[1] ** 0.5))
+        _set(tree, ("absolute_pos_embed",),
+             np.ascontiguousarray(ape.reshape(1, s, s, ape.shape[-1])))
+
     for i in range(swin.num_layers):
         lp = f"{p}layers.{i}."
         lt = f"layers_{i}"
@@ -241,9 +249,74 @@ def convert_mm_swin2d(sd: FlatDict, cfg: ModelConfig,
                  _lin(sd[f"{lp}downsample.reduction.weight"]))
 
     for i in cfg.out_indices:
-        _set(tree, (f"norm{i}", "scale"), sd[f"{p}norm{i}.weight"])
-        _set(tree, (f"norm{i}", "bias"), sd[f"{p}norm{i}.bias"])
+        # backbone-only checkpoints (ImageNet Swin) have a single final
+        # `norm`, not per-stage norm{i} — skip, the per-stage norms stay
+        # at their init (reference loads non-strictly the same way).
+        if f"{p}norm{i}.weight" in sd:
+            _set(tree, (f"norm{i}", "scale"), sd[f"{p}norm{i}.weight"])
+            _set(tree, (f"norm{i}", "bias"), sd[f"{p}norm{i}.bias"])
     return tree
+
+
+def convert_lavt_2d_to_hybrid(sd: FlatDict, cfg: ModelConfig,
+                              keep_fusion: bool) -> dict:
+    """2D lavt_one checkpoint -> variables for the hybrid 2D-Swin video
+    model (--ytvos_2d_swin_3d_pwam / --ytvos_2d_swin_pwam).
+
+    Implements load_from_pretrained2d_lavt_weights (reference
+    lib/_utils.py:133-183): patch-embed temporal unsqueeze; the 2D blocks
+    load as-is (the hybrid backbone runs 2D attention per frame, so the
+    rel-pos tables stay 2D); `keep_fusion` keeps the 2D PWAM fusion weights
+    only when the hybrid actually uses a 2D PWAM (--ytvos_2d_swin_pwam) —
+    with a 3D SepTPWAM the mismatched fusion keys are dropped, like the
+    reference's non-strict load.
+    """
+    sd = strip_prefixes(sd)
+    params: dict = {}
+    params["text_encoder"] = convert_bert(sd, cfg.bert.num_layers,
+                                          prefix="text_encoder.")
+    bb = convert_mm_swin2d(sd, cfg, prefix="backbone.")
+    pe = bb["patch_embed"]["proj"]["kernel"]  # (kh, kw, in, out)
+    bb["patch_embed"]["proj"]["kernel"] = pe[None]  # depth-1 Conv3d
+    if not keep_fusion:
+        for lt in list(bb):
+            if lt.startswith("layers_"):
+                bb[lt].pop("fusion", None)
+    params["backbone"] = bb
+    cls_params, cls_stats = convert_simple_decoding(sd, prefix="classifier.")
+    params["classifier"] = cls_params
+    return {"params": params, "batch_stats": {"classifier": cls_stats}}
+
+
+def merge_variables(base, partial):
+    """Non-strict state-dict load: overwrite leaves of `base` that exist in
+    `partial` (same path and shape); keep everything else at init.  The
+    TPU-native equivalent of torch load_state_dict(strict=False) /
+    mmcv_custom load_checkpoint (reference checkpoint.py:41-360).
+
+    Returns (merged, loaded_paths, skipped_paths)."""
+    loaded, skipped = [], []
+
+    def rec(b, p, pth):
+        if isinstance(p, dict):
+            if not isinstance(b, dict):
+                skipped.append(pth + " (structure mismatch)")
+                return b
+            out = dict(b)
+            for k, v in p.items():
+                if k in b:
+                    out[k] = rec(b[k], v, f"{pth}/{k}")
+                else:
+                    skipped.append(f"{pth}/{k}")
+            return out
+        if hasattr(b, "shape") and tuple(b.shape) != tuple(np.shape(p)):
+            skipped.append(f"{pth} (shape {np.shape(p)} vs {tuple(b.shape)})")
+            return b
+        loaded.append(pth)
+        dtype = getattr(b, "dtype", None)
+        return np.asarray(p, dtype=dtype)
+
+    return rec(base, partial, ""), loaded, skipped
 
 
 # ---------------------------------------------------------------------------
