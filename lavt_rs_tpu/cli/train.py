@@ -143,25 +143,42 @@ def main(argv=None):
             train_ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
         else:
             raise ValueError(f"unknown video dataset {args.dataset}")
-        iters_per_epoch = len(train_ds) // args.batch_size
+
+        # validation dataset for per-epoch video eval (reference
+        # train.py:768-789 evaluate_a2d / evaluate_ref_3d; YTVOS trains
+        # blind — the competition split is server-scored)
+        val_ds = None
+        if args.dataset == "a2d":
+            from ..data.a2d import A2DSentencesDataset
+
+            val_ds = A2DSentencesDataset(
+                args.a2d_data_root, args.a2d_ann, tok, subset=args.val_split,
+                num_frames=args.num_frames, clip_length=args.clip_length,
+                img_size=args.img_size, max_tokens=args.max_tokens)
+        elif args.dataset == "ref_pseudo_video" or \
+                args.image_combined_3d_pretrain:
+            # evaluate_ref_3d equivalent: RefCOCO val refs as static
+            # pseudo-clips through the 3D model (reference train.py:794-811)
+            refer_val = REFER(args.refer_data_root, "refcoco",
+                              "unc" if combined else args.splitBy)
+            val_ds = ReferPseudoVideos(
+                refer_val, tok, split=args.val_split,
+                num_frames=args.num_frames, img_size=args.img_size,
+                max_tokens=args.max_tokens)
+
+        from ..data.loader import PrefetchLoader, collate_video
+
+        loader = PrefetchLoader(train_ds, args.batch_size, collate_video,
+                                shuffle=True, num_workers=args.workers,
+                                seed=args.seed)
+        iters_per_epoch = len(loader)
 
         def epoch_batches(epoch):
-            order = np.random.default_rng(args.seed + epoch).permutation(
-                len(train_ds))
-            bsz = args.batch_size
-            for s in range(0, len(order) - bsz + 1, bsz):
-                items = [train_ds[int(i)] for i in order[s:s + bsz]]
-                yield {
-                    "video": np.stack([it.video for it in items]),
-                    "target": np.stack([it.target for it in items]),
-                    "ids": np.stack([it.ids for it in items]).astype(np.int32),
-                    "mask": np.stack([it.mask for it in items]).astype(np.int32),
-                    "valid_index": np.asarray(
-                        [it.valid_index for it in items], np.int32),
-                }
+            loader.set_epoch(epoch)
+            return iter(loader)
     else:
         from ..data.refer import REFER
-        from ..data.refcoco import ReferDataset, batch_iterator
+        from ..data.refcoco import ReferDataset
         from ..text.tokenizer import WordPieceTokenizer
 
         refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
@@ -186,16 +203,31 @@ def main(argv=None):
         val_ds = ReferDataset(refer, tok, split=args.val_split,
                               img_size=args.img_size,
                               max_tokens=args.max_tokens, eval_mode=True)
-        iters_per_epoch = len(train_ds) // args.batch_size
+
+        # threaded decode/resize overlapped with the TPU step (the
+        # reference's DataLoader-workers equivalent, train.py:554-563)
+        from ..data.loader import PrefetchLoader, collate_refer
+
+        loader = PrefetchLoader(train_ds, args.batch_size, collate_refer,
+                                shuffle=True, num_workers=args.workers,
+                                seed=args.seed)
+        iters_per_epoch = len(loader)
 
         def epoch_batches(epoch):
-            return batch_iterator(train_ds, args.batch_size, shuffle=True,
-                                  seed=args.seed + epoch)
+            loader.set_epoch(epoch)
+            return iter(loader)
 
     tcfg = train_config_from_args(args, max(iters_per_epoch, 1))
 
-    # init
-    b0 = {k: v[:1] for k, v in next(iter(epoch_batches(0))).items()}
+    # init (one collated example; don't spin up the prefetch loader for it)
+    if args.synthetic:
+        b0 = {k: v[:1] for k, v in next(iter(epoch_batches(0))).items()}
+    else:
+        from ..data.loader import collate_refer, collate_video
+
+        col = collate_video if video else collate_refer
+        b0 = col([train_ds[0]])
+        b0 = {k: v[:1] for k, v in b0.items()}
     vis0 = b0["video"] if video else b0["image"]
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), jnp.asarray(vis0),
@@ -246,43 +278,77 @@ def main(argv=None):
                           donate_argnums=(0,))
     key = jax.random.PRNGKey(args.seed + 1)
 
+    eval_apply = None
+    if not args.synthetic:
+        from ..models.factory import build_model as _bm
+
+        eval_model = _bm(cfg, train=False)
+        # ONE apply object for every epoch so the eval loops' jit cache
+        # hits (a fresh lambda per epoch would recompile every time)
+        eval_apply = lambda v, *a: eval_model.apply(v, *a)  # noqa: E731
+
+    # A2D / combined-3D-pretrain save only on improvement (reference
+    # train.py:775-811); RefCOCO and YTVOS save every epoch.
+    best_metric = -1.0
+    best_only = (args.dataset == "a2d" or args.image_combined_3d_pretrain
+                 or args.dataset == "ref_pseudo_video") and not args.synthetic
+    keep = args.keep_checkpoints
+    if not keep and args.dataset == "ytvos" and \
+            not args.pretrained_video_lavt_weights_on_refcocos:
+        keep = 8  # reference keeps the last 8 for scratch YTVOS runs
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        losses = []
+        iou_sum, iou_n = 0.0, 0
         for it, batch in enumerate(epoch_batches(epoch)):
             batch.pop("ref_id", None)
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, key)
+            iou_sum += float(metrics["iou"])
+            iou_n += 1
             if (it + 1) % args.print_freq == 0 or args.synthetic:
-                loss = float(metrics["loss"])
-                losses.append(loss)
                 print(f"epoch {epoch} [{it + 1}/{iters_per_epoch}] "
-                      f"loss={loss:.4f} iou={float(metrics['iou']):.4f} "
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"iou={float(metrics['iou']):.4f} "
                       f"lr={float(metrics['lr']):.2e}", file=sys.stderr)
-        print(f"epoch {epoch} done in {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        train_miou = 100.0 * iou_sum / max(iou_n, 1)
+        print(f"epoch {epoch} done in {time.time() - t0:.1f}s "
+              f"(train mIoU {train_miou:.2f})", file=sys.stderr)
 
-        # validation every epoch, like the reference (train.py:743); the
-        # checkpoint is named with its metrics (train.py:761-762).
+        # validation every epoch, like the reference (train.py:743, 768);
+        # checkpoints are named with their metrics (train.py:761-762).
         tag = ""
-        if (not args.synthetic and not video
-                and (epoch + 1) % max(args.eval_every, 1) == 0):
-            from ..eval.refcoco_eval import evaluate
-            from ..models.factory import build_model as _bm
-
-            eval_model = _bm(cfg, train=False)
+        do_eval = (not args.synthetic
+                   and (epoch + 1) % max(args.eval_every, 1) == 0)
+        eval_vars = None
+        if do_eval:
             eval_vars = {"params": jax.device_get(state.params),
                          "batch_stats": jax.device_get(state.batch_stats)}
-            summary = evaluate(
-                lambda v, *a: eval_model.apply(v, *a), eval_vars, val_ds,
-                log_every=0)
+        if do_eval and not video:
+            from ..eval.refcoco_eval import evaluate
+
+            summary = evaluate(eval_apply, eval_vars, val_ds, log_every=0)
             tag = (f"mIoU_{summary['mIoU']:.2f}"
                    f"_oIoU_{summary['oIoU']:.2f}")
+        elif do_eval and video and val_ds is not None:
+            from ..eval.video_eval import evaluate_a2d
+
+            summary = evaluate_a2d(eval_apply, eval_vars, val_ds)
+            tag = (f"tmIoU_{train_miou:.2f}_mIoU_{summary['mIoU']:.2f}"
+                   f"_oIoU_{summary['oIoU']:.2f}")
+        elif video:
+            tag = f"tmIoU_{train_miou:.2f}"
 
         if args.output_dir:
-            save_checkpoint(args.output_dir, epoch, state,
-                            extra={"args": vars(args)}, metrics_tag=tag,
-                            keep=args.keep_checkpoints or None)
+            if best_only and train_miou <= best_metric:
+                print(f"epoch {epoch}: train mIoU {train_miou:.2f} did not "
+                      f"improve on {best_metric:.2f}; not saving",
+                      file=sys.stderr)
+            else:
+                best_metric = max(best_metric, train_miou)
+                save_checkpoint(args.output_dir, epoch, state,
+                                extra={"args": vars(args)}, metrics_tag=tag,
+                                keep=keep or None)
     print("training complete", file=sys.stderr)
 
 

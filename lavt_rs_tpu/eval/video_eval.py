@@ -11,6 +11,7 @@ Behavioral contract:
 from __future__ import annotations
 
 import sys
+import weakref
 from typing import Callable, Optional
 
 import numpy as np
@@ -20,6 +21,19 @@ import jax.numpy as jnp
 from ..metrics import SegMetrics
 from ..metrics_video import JFMetrics
 
+# jitted forward cached per model_apply object so per-epoch eval during
+# training does not recompile
+_FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _fwd_for(model_apply: Callable):
+    fn = _FWD_CACHE.get(model_apply)
+    if fn is None:
+        fn = jax.jit(lambda variables, video, ids, mask:
+                     model_apply(variables, video, ids, mask))
+        _FWD_CACHE[model_apply] = fn
+    return fn
+
 
 def evaluate_a2d(model_apply: Callable, variables, ds,
                  max_items: Optional[int] = None,
@@ -27,11 +41,7 @@ def evaluate_a2d(model_apply: Callable, variables, ds,
     """ds yields VideoExample with (T, H, W, 3) clips; the loss/metric is
     computed on the annotated frame only (valid_index)."""
     metrics = SegMetrics()
-
-    @jax.jit
-    def fwd(variables, video, ids, mask):
-        logits = model_apply(variables, video, ids, mask)  # (B*T, H, W, C)
-        return logits
+    fwd = _fwd_for(model_apply)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
     for i in range(n):
@@ -59,10 +69,7 @@ def evaluate_ytvos_jf(model_apply: Callable, variables, ds,
     """Local J&F over a labeled YTVOS-style dataset (all clip frames that
     have ground truth; here the annotated frame per meta)."""
     jf = JFMetrics()
-
-    @jax.jit
-    def fwd(variables, video, ids, mask):
-        return model_apply(variables, video, ids, mask)
+    fwd = _fwd_for(model_apply)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
     for i in range(n):
