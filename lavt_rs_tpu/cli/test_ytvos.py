@@ -47,7 +47,7 @@ def get_parser():
 
 def load_validation_videos(root: str, split: str):
     """valid+test metas minus test videos == the 202 competition videos
-    (reference test_ytvos.py:84-99)."""
+    (reference test_ytvos.py:84-99, asserted there too)."""
     with open(os.path.join(root, "meta_expressions", "valid",
                            "meta_expressions.json")) as f:
         valid = json.load(f)["videos"]
@@ -57,6 +57,12 @@ def load_validation_videos(root: str, split: str):
         with open(test_path) as f:
             test = json.load(f)["videos"]
         videos = {k: v for k, v in valid.items() if k not in test}
+        # the competition validation set is exactly 202 videos; a different
+        # count means the metas are wrong/incomplete (reference
+        # test_ytvos.py:99).  Only checkable when the test metas exist.
+        assert len(videos) == 202, (
+            f"error: incorrect number of validation videos "
+            f"({len(videos)} != 202)")
     else:
         videos = valid
     return videos
@@ -93,6 +99,11 @@ def main(argv=None):
     model = build_model(cfg)
     tok = WordPieceTokenizer.from_vocab_file(args.vocab)
 
+    # image (2D) models run the reference's evaluate_single_frames path
+    # (test_ytvos.py:288-482): every frame is an independent forward —
+    # here one batched forward over the frame axis per expression.
+    is_video = cfg.name == "lavt_video"
+
     variables = None
     fwd = jax.jit(lambda v, *a: model.apply(v, *a))
 
@@ -109,22 +120,20 @@ def main(argv=None):
         clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
 
         if variables is None:
+            init_vis = clip[:, :1] if is_video else clip[:, 0]
             if args.checkpoint.endswith((".pth", ".pt")):
-                from ..convert.torch2jax import (
-                    convert_lavt_video, load_torch_state_dict,
-                )
+                from .test import _convert_torch_checkpoint
 
                 variables = jax.tree.map(
                     jnp.asarray,
-                    convert_lavt_video(load_torch_state_dict(
-                        args.checkpoint), cfg))
+                    _convert_torch_checkpoint(args.checkpoint, cfg))
             elif args.checkpoint:
                 from ..train.checkpoint import restore_checkpoint
                 from ..train.optim import TrainConfig
                 from ..train.step import create_train_state
 
                 init_vars = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), clip[:, :1],
+                    jax.random.PRNGKey(0), init_vis,
                     jnp.ones((1, 22), jnp.int32),
                     jnp.ones((1, 22), jnp.int32))
                 state, _ = create_train_state(model, init_vars,
@@ -136,11 +145,12 @@ def main(argv=None):
                 print("WARNING: random weights (no --checkpoint)",
                       file=sys.stderr)
                 variables = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), clip[:, :1],
+                    jax.random.PRNGKey(0), init_vis,
                     jnp.ones((1, 22), jnp.int32),
                     jnp.ones((1, 22), jnp.int32))
 
-        for exp_id, exp in videos[vid]["expressions"].items():
+        for exp_idx, (exp_id, exp) in enumerate(
+                videos[vid]["expressions"].items()):
             ids, attn = tok.encode_padded(exp["exp"], 22)
             ids = jnp.asarray(ids[None].astype(np.int32))
             attn = jnp.asarray(attn[None].astype(np.int32))
@@ -149,7 +159,16 @@ def main(argv=None):
             T = clip.shape[1]
             step = args.chunk_frames or T
             for s in range(0, T, step):
-                logits = fwd(variables, clip[:, s:s + step], ids, attn)
+                if is_video:
+                    logits = fwd(variables, clip[:, s:s + step], ids, attn)
+                else:
+                    # single-frame path: (t, H, W, 3) batch of frames with
+                    # the expression broadcast along the batch axis
+                    frames_batch = clip[0, s:s + step]
+                    t = frames_batch.shape[0]
+                    logits = fwd(variables, frames_batch,
+                                 jnp.repeat(ids, t, axis=0),
+                                 jnp.repeat(attn, t, axis=0))
                 chunks.append(np.asarray(
                     resize_2d(logits, sizes).argmax(-1)).astype(np.uint8))
             pred = np.concatenate(chunks, axis=0)  # (T, H, W)
@@ -159,6 +178,22 @@ def main(argv=None):
             for t, fr in enumerate(frames):
                 Image.fromarray(pred[t] * 255).save(
                     os.path.join(out_dir, f"{fr}.png"))
+
+            if args.visualize:
+                # RGBA-style overlays on the ORIGINAL frames, one color per
+                # expression (reference test_ytvos.py:255-269)
+                from ..utils.visualize import vis_add_mask
+
+                vis_dir = os.path.join(f"{args.out}_visualize", vid,
+                                       str(exp_id))
+                os.makedirs(vis_dir, exist_ok=True)
+                for t, fr in enumerate(frames):
+                    src = np.asarray(Image.open(os.path.join(
+                        args.ytvos_data_root, args.split, "JPEGImages",
+                        vid, f"{fr}.jpg")).convert("RGB"))
+                    Image.fromarray(
+                        vis_add_mask(src, pred[t], exp_idx)).save(
+                            os.path.join(vis_dir, f"{fr}.png"))
         print(f"[{vi + 1}/{len(names)}] {vid}: "
               f"{len(videos[vid]['expressions'])} expressions",
               file=sys.stderr)
