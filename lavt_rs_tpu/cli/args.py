@@ -146,8 +146,6 @@ def add_data_args(p: argparse.ArgumentParser):
 
 def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float, default=5e-5)
-    p.add_argument("--lr_upsample", type=float, default=3e-5,
-                   help="fine-tune LR for the A2D upsample module")
     p.add_argument("--wd", "--weight-decay", "--weight_decay",
                    dest="weight_decay", type=float, default=1e-2)
     p.add_argument("--amsgrad", action="store_true")

@@ -126,13 +126,28 @@ def main(argv=None):
                         ("refcocog", "umd")) if combined
                        else (("refcoco", args.splitBy),))
             parts = []
+            import os as _os
+
             for name, sb in sources:
-                refer = REFER(args.refer_data_root, name, sb)
-                parts.append(ReferPseudoVideos(
-                    refer, tok, split=args.split,
-                    num_frames=args.num_frames, img_size=args.img_size,
-                    max_tokens=args.max_tokens,
-                    augmenter=ImageToSeqAugmenter(seed=args.seed)))
+                refexp_ann = _os.path.join(
+                    args.refer_data_root, name,
+                    f"instances_{name}_{args.split}.json")
+                if _os.path.exists(refexp_ann):
+                    # COCO-format refexp jsons (the reference's
+                    # ModulatedDetection source, data/refexp2seq.py:278-298)
+                    from ..data.refexp2seq import build_refexp_dataset
+
+                    parts.append(build_refexp_dataset(
+                        name, args.split, args.refer_data_root, tok,
+                        num_frames=args.num_frames, img_size=args.img_size,
+                        max_tokens=args.max_tokens, seed=args.seed))
+                else:
+                    refer = REFER(args.refer_data_root, name, sb)
+                    parts.append(ReferPseudoVideos(
+                        refer, tok, split=args.split,
+                        num_frames=args.num_frames, img_size=args.img_size,
+                        max_tokens=args.max_tokens,
+                        augmenter=ImageToSeqAugmenter(seed=args.seed)))
             if args.dataset == "joint":
                 from ..data.ytvos import YTVOSDataset
 

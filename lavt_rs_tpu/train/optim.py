@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import optax
@@ -109,12 +109,59 @@ def poly_schedule(cfg: TrainConfig):
     return sched
 
 
+class _AmsgradState(NamedTuple):
+    count: "jax.Array"
+    mu: "object"
+    nu: "object"
+    nu_max: "object"
+
+
+def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.AdamW(amsgrad=True) semantics exactly: the running max is
+    taken over the RAW second moment and bias-corrected afterwards
+    (optax.scale_by_amsgrad corrects first, then maxes — transiently
+    different updates)."""
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _AmsgradState(count=jnp.zeros([], jnp.int32), mu=zeros,
+                             nu=jax.tree.map(jnp.zeros_like, params),
+                             nu_max=jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        t = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** t.astype(jnp.float32)
+        bc2 = 1 - b2 ** t.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm) / jnp.sqrt(bc2) + eps),
+            mu, nu_max)
+        return out, _AmsgradState(count=t, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(params, cfg: TrainConfig) -> optax.GradientTransformation:
     sched = poly_schedule(cfg)
 
     def adamw(wd):
-        tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
-                         weight_decay=wd, nesterov=False)
+        if cfg.amsgrad:
+            # torch AdamW(amsgrad=True) equivalent (reference train.py:692):
+            # max-of-raw-v second moment + decoupled weight decay.
+            tx = optax.chain(
+                scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8),
+                optax.add_decayed_weights(wd),
+                optax.scale_by_learning_rate(sched))
+        else:
+            tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.999,
+                             eps=1e-8, weight_decay=wd, nesterov=False)
         if cfg.grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
         return tx

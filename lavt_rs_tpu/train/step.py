@@ -78,6 +78,10 @@ def make_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
         inter, union = batch_iou(out, batch["target"])
         metrics = {
             "loss": loss,
+            # train-time signal only: mean per-image IoU with union-0 -> 0,
+            # exactly the reference's in-train IoU (train.py:64-76).
+            # Eval-grade numbers (cum_I/cum_U oIoU + P@K) come from
+            # SegMetrics in the eval loops.
             "iou": jnp.mean(jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)),
             "lr": _current_lr(state.step, tcfg),
         }

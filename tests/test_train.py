@@ -5,6 +5,7 @@ import dataclasses
 
 import numpy as np
 import pytest
+import optax
 import jax
 import jax.numpy as jnp
 
@@ -92,6 +93,7 @@ def test_poly_lr_schedule():
     assert float(s(4000)) == 0.0
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """The sharded grads/step equal the unsharded ones.
 
@@ -350,3 +352,37 @@ def test_zero1_opt_state_sharding_matches_replicated():
             jax.tree_util.tree_flatten_with_path(b_)[0]):
         np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5,
                                    err_msg=str(kp))
+
+
+def test_amsgrad_matches_torch():
+    """--amsgrad parity: optax scale_by_amsgrad + decoupled decay vs
+    torch.optim.AdamW(amsgrad=True) on identical grads (reference
+    train.py:692 passes amsgrad through)."""
+    import torch
+
+    from lavt_rs_tpu.train.optim import TrainConfig, build_optimizer
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(5).astype(np.float32)
+    grads_seq = [rng.standard_normal(5).astype(np.float32)
+                 for _ in range(4)]
+
+    cfg = TrainConfig(lr=1e-2, weight_decay=0.05, amsgrad=True, fix_lr=True)
+    params = {"w": jnp.asarray(w0)}
+    tx = build_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    for g in grads_seq:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=1e-2, weight_decay=0.05,
+                             betas=(0.9, 0.999), eps=1e-8, amsgrad=True)
+    for g in grads_seq:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)

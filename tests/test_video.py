@@ -204,6 +204,7 @@ def test_lavt_video_shapes():
     assert out.shape == (8, 32, 32, 2)  # (B*T, H, W, classes)
 
 
+@pytest.mark.slow
 def test_video_train_step_descends():
     from lavt_rs_tpu.train.optim import TrainConfig
     from lavt_rs_tpu.train.step import create_train_state, make_video_train_step

@@ -167,3 +167,49 @@ def test_cli_a2d_eval_path(a2d_fixture, tmp_path):
     assert "mIoU" in summary and "P@0.5" in summary
     dumped = list((tmp_path / "a2d_masks").glob("*.png"))
     assert dumped, "expected an --a2d_masks PNG dump"
+
+
+def test_refexp_pseudo_videos(tmp_path, tok):
+    """COCO-format refexp reader (ModulatedDetection equivalent,
+    reference data/refexp2seq.py:28-298): one image entry per sentence,
+    caption on the image, augmented + shuffled pseudo-clip."""
+    from lavt_rs_tpu.data.refexp2seq import RefExpPseudoVideos
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(rng.integers(0, 255, (40, 50, 3), np.uint8)).save(
+        img_dir / "img0.jpg")
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "img0.jpg", "height": 40, "width": 50,
+             "caption": "the dog running"},
+            {"id": 2, "file_name": "img0.jpg", "height": 40, "width": 50,
+             "caption": "a cat"},
+            {"id": 3, "file_name": "img0.jpg", "height": 40, "width": 50,
+             "caption": "no annotations -> dropped"},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 1, "iscrowd": 0,
+             "area": 100,
+             "segmentation": [[5, 5, 25, 5, 25, 20, 5, 20]],
+             "bbox": [5, 5, 20, 15]},
+            {"id": 11, "image_id": 2, "category_id": 1, "iscrowd": 0,
+             "area": 50,
+             "segmentation": [[30, 25, 45, 25, 45, 35, 30, 35]],
+             "bbox": [30, 25, 15, 10]},
+        ],
+    }
+    ann = tmp_path / "instances_refcoco_train.json"
+    with open(ann, "w") as f:
+        json.dump(coco, f)
+
+    ds = RefExpPseudoVideos(str(img_dir), str(ann), tok, num_frames=3,
+                            img_size=32, max_tokens=8, seed=0)
+    assert len(ds) == 2  # entry 3 has no annotations
+    ex = ds[0]
+    assert ex.video.shape == (3, 32, 32, 3)
+    assert ex.target.shape == (32, 32) and ex.target.sum() > 0
+    assert 0 <= ex.valid_index < 3 and ex.valid == 1
+    assert ex.ids.shape == (8,) and ex.ids[0] == tok.cls_id
+    assert ex.image_id == "refexp_1"
