@@ -28,6 +28,11 @@ def main():
     p.add_argument("--swin", default="base")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--fwd_only", action="store_true")
+    p.add_argument("--with_input", action="store_true",
+                   help="end-to-end steps/s INCLUDING the host input "
+                        "pipeline (JPEG decode + resize + normalize via "
+                        "PrefetchLoader), not just the device step")
+    p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
 
     from lavt_rs_tpu.config import lavt_one_base
@@ -118,6 +123,53 @@ def main():
     dt = (tn - t1) / args.iters
     print(f"train step: {dt * 1000:.1f} ms/step ({b / dt:.2f} img/s) "
           f"[pallas={not args.no_pallas} drop_path={args.drop_path} bs={b}]")
+
+    if args.with_input:
+        # end-to-end: threaded JPEG decode + resize + normalize through
+        # PrefetchLoader, overlapped with the device step (the number the
+        # reference's DataLoader-workers pipeline would be judged on)
+        import io
+        from types import SimpleNamespace
+
+        from PIL import Image as PILImage
+
+        from lavt_rs_tpu.data.loader import PrefetchLoader, collate_refer
+        from lavt_rs_tpu.data.transforms import normalize, resize_pair
+
+        rng2 = np.random.default_rng(1)
+        raw = (rng2.standard_normal((520, 640, 3)) * 40 + 128).clip(
+            0, 255).astype(np.uint8)
+        bio = io.BytesIO()
+        PILImage.fromarray(raw).save(bio, format="JPEG", quality=90)
+        jpeg = bio.getvalue()
+        ids_np = np.asarray(rng2.integers(1000, 20000, (20,)), np.int32)
+        tgt = rng2.integers(0, 2, (480, 480)).astype(np.int32)
+
+        class JpegDS:
+            def __len__(self):
+                return 100000
+
+            def __getitem__(self, i):
+                img = PILImage.open(io.BytesIO(jpeg)).convert("RGB")
+                im, _ = resize_pair(img, None, (480, 480))
+                return SimpleNamespace(image=normalize(np.asarray(im)),
+                                       target=tgt, ids=ids_np,
+                                       mask=np.ones(20, np.int32))
+
+        loader = PrefetchLoader(JpegDS(), b, collate_refer, shuffle=False,
+                                num_workers=args.workers, prefetch=4,
+                                device_put=jax.device_put)
+        it = iter(loader)
+        # warm one batch through (decode threads spin up)
+        state, m = jstep(state, next(it), key)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = jstep(state, next(it), key)
+        float(m["loss"])
+        dt_e2e = (time.perf_counter() - t0) / args.iters
+        print(f"train step WITH input: {dt_e2e * 1000:.1f} ms/step "
+              f"({b / dt_e2e:.2f} img/s) [workers={args.workers}]")
 
 
 if __name__ == "__main__":
