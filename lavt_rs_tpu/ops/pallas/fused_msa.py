@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-            wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
+            wp_ref, bp_ref, bias_ref, mask_ref, out_ref, o_scr, *,
             heads: int, scale: float):
     """Processes a CHUNK of ch windows per grid step.
 
@@ -79,9 +79,19 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        # per-head slice of the out projection; summing heads == concat+proj
-        y = y + jnp.dot(o.astype(x.dtype).reshape(ch * n, hd), wp_ref[sl, :],
-                        preferred_element_type=jnp.float32)
+        if o_scr is not None:
+            # concat heads via lane-slice stores, then one fat K=C
+            # projection GEMM after the loop (per-head K=hd=32 dots are
+            # ~4× under the MXU's 128 systolic edge).  Measured win at
+            # C>=256; at C=128 the scratch shrinks the chunk instead —
+            # there the per-head sum stays (see _use_fat_gemm).
+            o_scr[:, sl] = o.astype(x.dtype).reshape(ch * n, hd)
+        else:
+            y = y + jnp.dot(o.astype(x.dtype).reshape(ch * n, hd),
+                            wp_ref[sl, :], preferred_element_type=jnp.float32)
+    if o_scr is not None:
+        y = jnp.dot(o_scr[...], wp_ref[...],
+                    preferred_element_type=jnp.float32)
     y = y + bp_ref[...].astype(jnp.float32)[None]
     out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
 
@@ -89,7 +99,8 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
 def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
                 bv_ref, wp_ref, bias_ref, mask_ref,
                 dx_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
-                dbq_ref, dbk_ref, dbv_ref, dbp_ref, dbias_ref, *,
+                dbq_ref, dbk_ref, dbv_ref, dbp_ref, dbias_ref,
+                o_scr, dq_scr, dk_scr, dv_scr, *,
                 heads: int, scale: float):
     """Fully fused MSA backward: recompute qkv + probs per chunk in VMEM,
     emit dx blocks, and accumulate every weight/bias/bias-table grad in
@@ -100,6 +111,14 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     backward needs NO (B, nW, h, N, hd) transposes in XLA at all (the
     previous decomposed backward spent ~40 ms/step on layout copies at
     Swin-B bs 8).
+
+    MXU shaping: the per-head loop only does the attention-geometry dots
+    (N×N×hd); everything that touches the weights runs AFTER the loop as
+    one fat K=cq GEMM per tensor, fed from (rows, cq) VMEM scratch that
+    the loop fills via static lane-slice stores (hd = 32-aligned).  The
+    earlier per-head dx/dW dots had K = N = hd = 32 — ~4× under the MXU's
+    128 systolic edge — and measured 27.6 ms/step at Swin-B stage 2 alone;
+    the fat-GEMM form is the same math with full-width contractions.
 
     The call may cover a SUBSET of heads (head-group splitting, see
     _fused_bwd): the q/k/v weights then have cq = heads*hd < C columns,
@@ -139,7 +158,8 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
         dbp_ref[...] = jnp.zeros_like(dbp_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    dx = jnp.zeros((ch * n, c), f32)
+    fat = o_scr is not None
+    dx = None if fat else jnp.zeros((ch * n, c), f32)
     rowsT = (((0,), (0,)), ((), ()))          # a^T @ b over rows
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
@@ -157,12 +177,15 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
         pc = p.astype(x.dtype)
 
         do_h = dattn[:, sl].astype(x.dtype).reshape(ch, n, hd)
-        # o_h for the out-projection weight grad: dwp[sl] += o_h^T @ gy
+        # o_h feeds the out-projection weight grad
         o_h = jax.lax.dot_general(pc, v, (((2,), (1,)), ((0,), (0,))),
                                   preferred_element_type=f32)
-        dwp_ref[sl, :] += jax.lax.dot_general(
-            o_h.astype(x.dtype).reshape(ch * n, hd), gyc, rowsT,
-            preferred_element_type=f32)
+        if fat:
+            o_scr[:, sl] = o_h.astype(x.dtype).reshape(ch * n, hd)
+        else:
+            dwp_ref[sl, :] += jax.lax.dot_general(
+                o_h.astype(x.dtype).reshape(ch * n, hd), gyc, rowsT,
+                preferred_element_type=f32)
 
         # dv = p^T @ do ; dp = do @ v^T ; ds = p*(dp - rowsum(dp*p))
         dv_h = jax.lax.dot_general(pc, do_h, (((1,), (1,)), ((0,), (0,))),
@@ -179,21 +202,54 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
         dk_h = jax.lax.dot_general(dsc, q, (((1,), (1,)), ((0,), (0,))),
                                    preferred_element_type=f32)
 
-        for d_h, w_ref, dw_ref, db_ref in (
-                (dq_h, wq_ref, dwq_ref, dbq_ref),
-                (dk_h, wk_ref, dwk_ref, dbk_ref),
-                (dv_h, wv_ref, dwv_ref, dbv_ref)):
+        for d_h, scr, w_ref, dw_ref, db_ref in (
+                (dq_h, dq_scr, wq_ref, dwq_ref, dbq_ref),
+                (dk_h, dk_scr, wk_ref, dwk_ref, dbk_ref),
+                (dv_h, dv_scr, wv_ref, dwv_ref, dbv_ref)):
             d_flat = d_h.reshape(ch * n, hd)
             dc = d_flat.astype(x.dtype)
-            dx = dx + jax.lax.dot_general(
-                dc, w_ref[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            dw_ref[:, sl] += jax.lax.dot_general(
-                x, dc, rowsT, preferred_element_type=f32)
-            db_ref[:, sl] += d_flat.sum(0)[None]
+            if fat:
+                scr[:, sl] = dc
+            else:
+                dx = dx + jax.lax.dot_general(
+                    dc, w_ref[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                dw_ref[:, sl] += jax.lax.dot_general(
+                    x, dc, rowsT, preferred_element_type=f32)
+            db_ref[:, sl] += d_flat.sum(0)[None]   # f32-exact bias grads
+
+    if fat:
+        # Fat K=cq GEMMs over the scratch buffers (same math as the
+        # per-head dots, full-width contractions for the MXU — measured
+        # 27.6 -> 20.5 ms/step at Swin-B stage 2; at C=128 the scratch
+        # shrinks the chunk instead, so the per-head path stays there).
+        colsT = (((1,), (1,)), ((), ()))          # a @ b^T over columns
+        dwp_ref[...] += jax.lax.dot_general(o_scr[...], gyc, rowsT,
+                                            preferred_element_type=f32)
+        dq_all_c, dk_all_c, dv_all_c = dq_scr[...], dk_scr[...], dv_scr[...]
+        dx = jax.lax.dot_general(dq_all_c, wq_ref[...], colsT,
+                                 preferred_element_type=f32)
+        dx = dx + jax.lax.dot_general(dk_all_c, wk_ref[...], colsT,
+                                      preferred_element_type=f32)
+        dx = dx + jax.lax.dot_general(dv_all_c, wv_ref[...], colsT,
+                                      preferred_element_type=f32)
+        dwq_ref[...] += jax.lax.dot_general(x, dq_all_c, rowsT,
+                                            preferred_element_type=f32)
+        dwk_ref[...] += jax.lax.dot_general(x, dk_all_c, rowsT,
+                                            preferred_element_type=f32)
+        dwv_ref[...] += jax.lax.dot_general(x, dv_all_c, rowsT,
+                                            preferred_element_type=f32)
 
     dbp_ref[...] += gy.sum(0)[None]
     dx_ref[...] = dx.reshape(ch, n, c).astype(dx_ref.dtype)
+
+
+def _use_fat_gemm(c: int) -> bool:
+    """Route the head-concat scratch + fat-GEMM form by width (measured on
+    v5e, Swin-B bs 8): C>=256 wins (stage-2 bwd 27.6 -> 20.5 ms/step);
+    at C=128 the scratch VMEM shrinks the chunk and loses ~0.4 ms/step,
+    so the per-head-slice GEMMs stay there."""
+    return c >= 256
 
 
 def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
@@ -213,6 +269,8 @@ def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
                + ch * n * c * 4              # gy f32
                + ch * n * cq * 4             # dattn f32
                + 3 * ch * n * cq * 4         # q/k/v (f32 pre-cast peak)
+               + (4 * ch * n * cq * itemsize  # o/dq/dk/dv fat-GEMM scratch
+                  if _use_fat_gemm(c) else 0)
                + ch * n * c * 4              # dx accumulator f32
                + 4 * ch * n * n * 4          # s/p/dp/ds tiles (one head)
                + ch * n * n * 4)             # mask block
@@ -320,13 +378,26 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
                                      lambda i: (i % per_img, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
-        kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale)
+        if _use_fat_gemm(c):
+            kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale)
+        else:
+            def kernel(*refs):
+                _bwd_kernel(*refs, None, None, None, None,
+                            heads=heads, scale=scale)
     else:
-        def kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
-                   bv_ref, wp_ref, bias_ref, *out_refs):
-            _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref,
-                        bk_ref, bv_ref, wp_ref, bias_ref, None, *out_refs,
-                        heads=heads, scale=scale)
+        if _use_fat_gemm(c):
+            def kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                       bv_ref, wp_ref, bias_ref, *out_refs):
+                _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref,
+                            bk_ref, bv_ref, wp_ref, bias_ref, None,
+                            *out_refs, heads=heads, scale=scale)
+        else:
+            def kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                       bv_ref, wp_ref, bias_ref, *out_refs):
+                _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref,
+                            bk_ref, bv_ref, wp_ref, bias_ref, None,
+                            *out_refs, None, None, None, None,
+                            heads=heads, scale=scale)
 
     f32 = jnp.float32
     out_shape = [
@@ -354,6 +425,8 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=([pltpu.VMEM((ch * n, cq), dt)] * 4  # o/dq/dk/dv
+                        if _use_fat_gemm(c) else []),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=b * nw * heads * n * n,
             bytes_accessed=3 * x.size * x.dtype.itemsize),
@@ -392,7 +465,9 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int) -> int:
         buf = (ch * n * c * itemsize          # x block
                + 3 * ch * n * c * 4           # q f32 + k/v (pre-cast peak)
                + ch * n * n * 4               # one head's scores
-               + ch * n * c * 4               # y accumulator
+               + (ch * n * c * itemsize       # o concat scratch
+                  if _use_fat_gemm(c) else 0)
+               + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
         if buf <= 6 * 1024 * 1024:
             best = ch
@@ -438,13 +513,20 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
         in_specs.append(pl.BlockSpec((ch, n, n), lambda i: (i % per_img, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
-        kernel = functools.partial(_kernel, heads=heads, scale=scale)
+        if _use_fat_gemm(c):
+            kernel = functools.partial(_kernel, heads=heads, scale=scale)
+        else:
+            def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                       bv_ref, wp_ref, bp_ref, bias_ref, mask_ref, out_ref):
+                _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                        bv_ref, wp_ref, bp_ref, bias_ref, mask_ref, out_ref,
+                        None, heads=heads, scale=scale)
     else:
         def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-                   wp_ref, bp_ref, bias_ref, out_ref):
+                   wp_ref, bp_ref, bias_ref, out_ref, *scr):
             _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-                    wp_ref, bp_ref, bias_ref, None, out_ref, heads=heads,
-                    scale=scale)
+                    wp_ref, bp_ref, bias_ref, None, out_ref,
+                    scr[0] if scr else None, heads=heads, scale=scale)
 
     flops = 2 * b * nw * (n * c * 3 * c + 2 * heads * n * n * (c // heads)
                           + n * c * c)
@@ -455,6 +537,8 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
         out_specs=pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n, c), dt),
+        scratch_shapes=([pltpu.VMEM((ch * n, c), dt)]  # o concat
+                        if _use_fat_gemm(c) else []),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=b * nw * heads * n * n,
             bytes_accessed=2 * x.size * x.dtype.itemsize

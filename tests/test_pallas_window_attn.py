@@ -291,3 +291,50 @@ def test_fused_msa_grads_masked(rng):
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_msa_fwd_and_grads_fat_gemm_path(rng):
+    """C=256 routes through the head-concat scratch + fat-GEMM form
+    (_use_fat_gemm) in both the forward and the fused backward; parity
+    against the XLA reference, with a mask present."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (
+        _use_fat_gemm, fused_window_msa, _ref_forward)
+
+    b, nw, n, c, h = 1, 2, 8, 256, 8
+    assert _use_fat_gemm(c)
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * .1)
+    wproj = jnp.asarray(
+        rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.6, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                               h, scale)
+    want = _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_p(x, wqkv, bqkv, wproj, bproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                     mask, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, bqkv, wproj, bproj, bias):
+        return (_ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h,
+                             scale) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wqkv, bqkv, wproj, bproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

@@ -1,7 +1,10 @@
-"""Capture a profiler trace of the train step and print top device ops.
+"""Capture a profiler trace of the train step and print a per-segment
+(ms/step by model stage, fwd/bwd split) + top-op breakdown.
 
 Usage: python tools/profile_train.py [--batch 8] [--drop_path 0.3]
-                                     [--no_pallas] [--fwd_only] [--video]
+                                     [--no_pallas] [--fwd_only]
+       python tools/profile_train.py --aggregate <trace_dir>   # re-group an
+           existing trace (e.g. one captured by bench_video.py --profile)
 """
 
 import argparse
@@ -14,6 +17,58 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _segment(ev):
+    """Coarse per-segment bucket for a device event.
+
+    Uses the XLA metadata (tf_op = the jax name-stack, e.g.
+    ``jit(step)/.../swin/layers_2/blocks_5/attn/...``) to attribute each
+    fusion to a model segment, and ``transpose(jvp`` to split fwd/bwd.
+    """
+    import re
+
+    args = ev.get("args") or {}
+    op = args.get("tf_op") or ""
+    name = ev.get("name", "")
+    direction = "bwd" if "transpose(jvp" in op else "fwd"
+    if (name.startswith(("%copy", "%bitcast", "%slice", "%all-reduce"))
+            or "copy-done" in name or "slice-done" in name):
+        return "copy/layout", direction
+    m = re.search(r"layers_(\d)", op)
+    stage = f":L{m.group(1)}" if m else ""
+    hay = op + "/" + name
+    for pat, seg in (
+        ("pallas_call", None),  # refine below by kernel name
+        ("text_encoder", "bert"),
+        ("fusion_", "pwam"),
+        ("res_gate", "pwam"),
+        ("classifier", "decoder"),
+        ("decoder", "decoder"),
+        ("patch_embed", "patch_embed"),
+        ("downsample", "patch_merge"),
+        ("attn", "attn"),
+        ("mlp", "mlp"),
+        ("norm", "norm"),
+        ("adamw", "optimizer"),
+        ("opt_update", "optimizer"),
+        ("pool", "loss/metrics"),
+        ("losses", "loss/metrics"),
+    ):
+        if pat in hay:
+            if seg is None:
+                kn = name.split(".")[0]
+                if kn.startswith("blocks"):
+                    kn = "mlp_tail"
+                return f"pallas:{kn}{stage}", direction
+            return f"{seg}{stage}" if seg in ("attn", "mlp", "norm") else seg, \
+                direction
+    # module path fallback: first informative component of the name stack
+    parts = [p for p in op.split("/") if p and not p.startswith(("jit", "jvp",
+             "transpose", "checkpoint", "remat", "while", "body"))]
+    if parts:
+        return parts[0][:40], direction
+    return "other", direction
 
 
 def aggregate(trace_dir, top=40):
@@ -32,15 +87,35 @@ def aggregate(trace_dir, top=40):
     print("processes:", pid_names, file=sys.stderr)
     tot = collections.Counter()
     cnt = collections.Counter()
+    seg_tot = collections.Counter()
     total = 0.0
+    nsteps = 0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
+        name = e.get("name", "")
+        if name.startswith("jit_") or name.isdigit():
+            # umbrella rows: "jit_step(...)" spans, and per-step "0"/"1"
+            # markers on the steps row; don't double count device time
+            if name.isdigit():
+                nsteps += 1
+            continue
         d = e.get("dur", 0) / 1e3  # ms
-        tot[e["name"]] += d
-        cnt[e["name"]] += 1
+        tot[name] += d
+        cnt[name] += 1
         total += d
-    print(f"\ntotal device time: {total:.1f} ms across {sum(cnt.values())} events")
+        seg, direction = _segment(e)
+        seg_tot[f"{seg}:{direction}"] += d
+    steps = max(nsteps, 1)
+    print(f"\ntotal device time: {total:.1f} ms across {sum(cnt.values())} "
+          f"events ({steps} step umbrellas -> {total / steps:.1f} ms/step)")
+    print("\n== per-segment (ms/step) ==")
+    for key, d in seg_tot.most_common():
+        if d / steps < 0.05:
+            continue
+        print(f"{d / steps:9.3f} ms/step  {key}")
+    print(f"{sum(seg_tot.values()) / steps:9.3f} ms/step  TOTAL")
+    print("\n== top ops ==")
     for name, d in tot.most_common(top):
         print(f"{d:9.2f} ms  x{cnt[name]:<4d} {name[:110]}")
 
@@ -54,7 +129,13 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--out", default="/tmp/jaxtrace_train")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--aggregate", default="",
+                   help="just aggregate this existing trace dir and exit")
     args = p.parse_args()
+
+    if args.aggregate:
+        aggregate(args.aggregate, args.top)
+        return
 
     import dataclasses
 
