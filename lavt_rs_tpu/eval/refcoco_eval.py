@@ -51,8 +51,10 @@ def _fwd_iou_for(model_apply: Callable):
 def evaluate(model_apply: Callable, variables, ds: ReferDataset,
              log_every: int = 100, max_items: Optional[int] = None,
              pad_sentences: Optional[int] = None,
-             out_stream=sys.stderr) -> dict:
+             out_stream=None) -> dict:
     """model_apply(variables, image, ids, mask) -> NHWC logits."""
+    if out_stream is None:  # resolve at call time, not import time
+        out_stream = sys.stderr
     metrics = SegMetrics()
     fwd_iou = _fwd_iou_for(model_apply)
 

@@ -37,9 +37,11 @@ def _fwd_for(model_apply: Callable):
 
 def evaluate_a2d(model_apply: Callable, variables, ds,
                  max_items: Optional[int] = None,
-                 out_stream=sys.stderr) -> dict:
+                 out_stream=None) -> dict:
     """ds yields VideoExample with (T, H, W, 3) clips; the loss/metric is
     computed on the annotated frame only (valid_index)."""
+    if out_stream is None:  # resolve at call time, not import time
+        out_stream = sys.stderr
     metrics = SegMetrics()
     fwd = _fwd_for(model_apply)
 
@@ -65,9 +67,11 @@ def evaluate_a2d(model_apply: Callable, variables, ds,
 
 def evaluate_ytvos_jf(model_apply: Callable, variables, ds,
                       max_items: Optional[int] = None,
-                      out_stream=sys.stderr) -> dict:
+                      out_stream=None) -> dict:
     """Local J&F over a labeled YTVOS-style dataset (all clip frames that
     have ground truth; here the annotated frame per meta)."""
+    if out_stream is None:
+        out_stream = sys.stderr
     jf = JFMetrics()
     fwd = _fwd_for(model_apply)
 

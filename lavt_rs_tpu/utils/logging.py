@@ -95,10 +95,11 @@ def device_memory_mb() -> Optional[float]:
 
 
 class MetricLogger:
-    def __init__(self, delimiter: str = "  ", out=sys.stderr):
+    def __init__(self, delimiter: str = "  ", out=None):
         self.meters = defaultdict(SmoothedValue)
         self.delimiter = delimiter
-        self.out = out
+        # resolve at call time so stream redirection (capsys, tee) works
+        self.out = out if out is not None else sys.stderr
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
