@@ -145,11 +145,12 @@ class WindowAttention(nn.Module):
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 
         # The fully fused kernel needs the qkv/proj weights + f32 bias
-        # resident in VMEM; wide stages (C > 512) or huge windows (video
-        # n=1152) fall back to the attention-only kernel / XLA.
+        # resident in VMEM; wide stages split heads into groups
+        # (fused_msa._pick_fwd_groups) and huge windows (video n=1152)
+        # fall back to the attention-only kernel / XLA.
         from ..ops.pallas.fused_msa import fused_msa_supported
 
-        fused_ok = (self.use_pallas and c <= 512
+        fused_ok = (self.use_pallas
                     and fused_msa_supported(nw, n, c, h))
         if fused_ok:
             from ..ops.pallas.fused_msa import fused_window_msa

@@ -45,12 +45,20 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     turns the qkv/out projections into (ch*N, C) GEMMs and batches the
     per-head attention dots over the chunk, amortizing the step overhead.
 
+    The call may cover a SUBSET of heads (head-group splitting, see
+    _fwd): wq/wk/wv then have cq = heads*hd < C columns and wp has cq
+    rows; the partial output (this group's heads' contribution to the
+    out-projection sum) is emitted in f32 and summed across groups by the
+    caller.  bp_ref is None for groups > 0 (the projection bias is added
+    exactly once).
+
     Mosaic notes: projections are 2-D with static lane slices (lane-dim
     reshapes like (N, 3C)->(N, 3, h, hd) fail layout inference); the head
     loop is a static Python unroll; the per-head score/out dots are 3-D
     dot_generals batched over the chunk dim."""
     ch, n, c = x_ref.shape
-    hd = c // heads
+    cq = wq_ref.shape[1]
+    hd = cq // heads
     x = x_ref[...].reshape(ch * n, c)  # leading-dim collapse only
 
     # Full-width projections — the MXU-heavy GEMMs with K = C.
@@ -92,7 +100,8 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     if o_scr is not None:
         y = jnp.dot(o_scr[...], wp_ref[...],
                     preferred_element_type=jnp.float32)
-    y = y + bp_ref[...].astype(jnp.float32)[None]
+    if bp_ref is not None:  # None for head-groups > 0 (bias added once)
+        y = y + bp_ref[...].astype(jnp.float32)[None]
     out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
 
 
@@ -287,8 +296,10 @@ def _pick_head_groups(nw: int, n: int, c: int, heads: int,
     fatter grid steps). Picks the G with the best chunk-per-read ratio;
     None if nothing fits."""
     best = None
-    for g_count in (1, 2, 4):
+    for g_count in (1, 2, 4, 8):
         if heads % g_count:
+            continue
+        if g_count > 1 and ((heads // g_count) * (c // heads)) % 32:
             continue
         cq = (heads // g_count) * (c // heads)
         ch = _pick_chunk_bwd(nw, n, c, cq, heads // g_count, itemsize)
@@ -437,41 +448,67 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
 
 def fused_msa_supported(nw: int, n: int, c: int, heads: int,
                         itemsize: int = 2) -> bool:
-    """Whether the fused kernel fits VMEM at all for this window geometry.
+    """Whether the fused forward fits VMEM for this window geometry, with
+    head-group splitting for wide stages (see _pick_fwd_groups).
 
-    Weights (4c² resident), the f32 bias (h, n, n), and one chunk's buffers
-    must fit ~12 MB of the 16 MB scoped budget.  Video Swin with window
-    (8, 12, 12) has n=1152 — its bias alone is 15.9 MB, so those configs
-    fall back (measured OOM: 16.68M scoped at Swin-T video stage 1)."""
-    weights = 4 * c * c * itemsize
-    bias = heads * n * n * 4
-    ch1 = (n * c * itemsize + 3 * n * c * 4 + n * n * 4 + n * c * 4
-           + n * n * 4)
-    return weights + bias + 2 * ch1 <= 12 * 1024 * 1024
+    Per call, the group's weights, its f32 bias slice, and one chunk's
+    buffers must fit ~12 MB of the 16 MB scoped budget.  Video Swin with
+    window (8, 12, 12) has n=1152 — its bias alone is 15.9 MB and even a
+    1-head slice busts the chunk budget, so those configs fall back
+    (measured OOM: 16.68M scoped at Swin-T video stage 1)."""
+    return _pick_fwd_groups(nw, n, c, heads, itemsize) is not None
 
 
-def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int) -> int:
+def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
+                cq: Optional[int] = None) -> int:
     """Largest divisor of nw whose per-step VMEM footprint stays under a
     ~6 MB budget (16 MB VMEM minus weights, bias, and double-buffering).
+    cq: the q/k/v width covered by the call (== c without head-group
+    splitting).
 
     The budget is empirical: at Swin-B stage 1 (n=144, c=128) chunk 20
     (est. ~10 MB) lands at 16.52 MB scoped-vmem — right at the 16 MB
     limit, compiling on some runs and OOMing on others — so the budget
     stays at 6 MB (chunk 10) for deterministic compiles."""
+    cq = c if cq is None else cq
     best = 1
     for ch in range(1, nw + 1):
         if nw % ch:
             continue
         buf = (ch * n * c * itemsize          # x block
-               + 3 * ch * n * c * 4           # q f32 + k/v (pre-cast peak)
+               + 3 * ch * n * cq * 4          # q f32 + k/v (pre-cast peak)
                + ch * n * n * 4               # one head's scores
-               + (ch * n * c * itemsize       # o concat scratch
-                  if _use_fat_gemm(c) else 0)
+               + (ch * n * cq * itemsize      # o concat scratch
+                  if _use_fat_gemm(cq) else 0)
                + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
         if buf <= 6 * 1024 * 1024:
             best = ch
     return best
+
+
+def _pick_fwd_groups(nw: int, n: int, c: int, heads: int,
+                     itemsize: int) -> Optional[int]:
+    """Head-group count for the fused forward.  G=1 (the common case) is
+    the plain single-call kernel; wider stages (Swin-B stage 3 C=1024;
+    video stages with (h, N, N) biases too large for VMEM) split heads so
+    each call's resident weights + bias slice fit.  None if no G fits."""
+    hd = c // heads
+    for g in (1, 2, 4, 8):
+        if heads % g:
+            continue
+        if g > 1 and ((heads // g) * hd) % 32:
+            # weight slices at lane offsets need 32-alignment (cq % 32)
+            continue
+        hpg = heads // g
+        cq = hpg * hd
+        weights = (3 * c * cq + cq * c) * itemsize
+        bias = hpg * n * n * 4
+        ch1 = (n * c * itemsize + 3 * n * cq * 4 + n * n * 4 + n * c * 4
+               + n * n * 4)
+        if weights + bias + 2 * ch1 <= 12 * 1024 * 1024:
+            return g
+    return None
 
 
 def _split_weights(wqkv, bqkv, wproj, heads):
@@ -486,65 +523,109 @@ def _split_weights(wqkv, bqkv, wproj, heads):
     return wq, wk, wv, bq, bk, bv, wproj
 
 
-def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
-    b, nw, n, c = x.shape
-    dt = x.dtype
-    wq, wk, wv, bq, bk, bv, wp = _split_weights(
-        wqkv.astype(dt), bqkv, wproj.astype(dt), heads)
+def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
+              heads, scale, ch, nw, out_dtype):
+    """One forward pallas_call over (possibly head-group-sliced) weights.
 
-    ch = _pick_chunk(nw, n, c, heads, jnp.dtype(dt).itemsize)
-    m = b * nw
-    xm = x.reshape(m, n, c)
+    xm: (m, n, C) windowed tokens; wq/wk/wv: (C, cq); wp: (cq, C);
+    bias: (heads, N, N) for this call's heads; bproj: (C,) or None (head
+    groups > 0 pass None so the projection bias is added exactly once).
+    Returns (m, n, C) in out_dtype (f32 for grouped partial sums)."""
+    m, n, c = xm.shape
+    dt = xm.dtype
+    cq = wq.shape[1]
+    fat = _use_fat_gemm(cq)
+    has_mask = mask is not None
+    has_bp = bproj is not None
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        const(wq), const(wk), const(wv), const(bq), const(bk), const(bv),
-        const(wp), const(bproj), const(bias),
-    ]
-    args = [xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias]
-    if mask is not None:
+    blk = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [blk, const(wq), const(wk), const(wv), const(bq), const(bk),
+                const(bv), const(wp)]
+    args = [xm, wq, wk, wv, bq, bk, bv, wp]
+    if has_bp:
+        in_specs.append(const(bproj))
+        args.append(bproj)
+    in_specs.append(const(bias))
+    args.append(bias)
+    if has_mask:
         # chunk i covers windows [i*ch, (i+1)*ch) of image i*ch//nw; since
         # ch | nw the chunk never crosses an image, and its in-image window
         # offset is (i mod nw//ch) in block units.
         per_img = nw // ch
-        in_specs.append(pl.BlockSpec((ch, n, n), lambda i: (i % per_img, 0, 0),
+        in_specs.append(pl.BlockSpec((ch, n, n),
+                                     lambda i: (i % per_img, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
-        if _use_fat_gemm(c):
-            kernel = functools.partial(_kernel, heads=heads, scale=scale)
-        else:
-            def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
-                       bv_ref, wp_ref, bp_ref, bias_ref, mask_ref, out_ref):
-                _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
-                        bv_ref, wp_ref, bp_ref, bias_ref, mask_ref, out_ref,
-                        None, heads=heads, scale=scale)
-    else:
-        def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-                   wp_ref, bp_ref, bias_ref, out_ref, *scr):
-            _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-                    wp_ref, bp_ref, bias_ref, None, out_ref,
-                    scr[0] if scr else None, heads=heads, scale=scale)
 
-    flops = 2 * b * nw * (n * c * 3 * c + 2 * heads * n * n * (c // heads)
-                          + n * c * c)
+    def kernel(*refs):
+        i = 8
+        bp_ref = refs[i] if has_bp else None
+        i += int(has_bp)
+        bias_ref = refs[i]
+        i += 1
+        mask_ref = refs[i] if has_mask else None
+        i += int(has_mask)
+        out_ref = refs[i]
+        o_scr = refs[i + 1] if fat else None
+        _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, o_scr,
+                heads=heads, scale=scale)
+
+    flops = 2 * m * (n * c * 3 * cq + 2 * heads * n * n * (cq // heads)
+                     + n * cq * c)
     out = pl.pallas_call(
         kernel,
         grid=(m // ch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n, c), dt),
-        scratch_shapes=([pltpu.VMEM((ch * n, c), dt)]  # o concat
-                        if _use_fat_gemm(c) else []),
+        out_shape=jax.ShapeDtypeStruct((m, n, c), out_dtype),
+        scratch_shapes=([pltpu.VMEM((ch * n, cq), dt)]  # o concat
+                        if fat else []),
         cost_estimate=pl.CostEstimate(
-            flops=flops, transcendentals=b * nw * heads * n * n,
-            bytes_accessed=2 * x.size * x.dtype.itemsize
-            + (wqkv.size + wproj.size) * 2),
+            flops=flops, transcendentals=m * heads * n * n,
+            bytes_accessed=2 * xm.size * dt.itemsize
+            + 4 * c * cq * 2),
     )(*args)
-    return out.reshape(b, nw, n, c)
+    return out
+
+
+def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
+    b, nw, n, c = x.shape
+    dt = x.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    wq, wk, wv, bq, bk, bv, wp = _split_weights(
+        wqkv.astype(dt), bqkv, wproj.astype(dt), heads)
+    m = b * nw
+    xm = x.reshape(m, n, c)
+
+    g_count = _pick_fwd_groups(nw, n, c, heads, itemsize)
+    if g_count == 1:
+        ch = _pick_chunk(nw, n, c, heads, itemsize)
+        out = _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
+                        heads, scale, ch, nw, dt)
+        return out.reshape(b, nw, n, c)
+
+    # Head-group split (wide stages, e.g. Swin-B stage 3 C=1024): each
+    # group's call holds only its weight/bias slices in VMEM and emits an
+    # f32 partial of the out-projection sum (concat+proj == sum of
+    # per-head projections, so partials just add).  Costs G× extra x
+    # reads — negligible next to the saved 6-D XLA transposes.
+    hpg = heads // g_count
+    w = hpg * (c // heads)
+    ch = _pick_chunk(nw, n, c, hpg, itemsize, cq=w)
+    total = None
+    for gi in range(g_count):
+        sl = slice(gi * w, (gi + 1) * w)
+        part = _fwd_call(xm, wq[:, sl], wk[:, sl], wv[:, sl],
+                         bq[sl], bk[sl], bv[sl], wp[sl, :],
+                         bproj if gi == 0 else None,
+                         bias[gi * hpg:(gi + 1) * hpg], mask,
+                         hpg, scale, ch, nw, jnp.float32)
+        total = part if total is None else total + part
+    return total.astype(dt).reshape(b, nw, n, c)
 
 
 def _kernel_2d(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,

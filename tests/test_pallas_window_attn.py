@@ -258,6 +258,55 @@ def test_fused_msa_grads_head_group_split(rng, monkeypatch):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_fused_msa_fwd_head_group_split(rng, monkeypatch):
+    """Forward head-group splitting (the Swin-B stage-3 C=1024 path:
+    per-group weight/bias slices, f32 partial outputs summed, bproj added
+    once) must match the single-call kernel and the XLA reference —
+    forced here by pinning the forward group count to 2."""
+    import lavt_rs_tpu.ops.pallas.fused_msa as fm
+
+    b, nw, n, c, h = 2, 3, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * .1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * .1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.7, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    want = fm._ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h, scale)
+    monkeypatch.setattr(fm, "_pick_fwd_groups", lambda *a, **k: 2)
+    for msk in (mask, None):
+        w = want if msk is mask else fm._ref_forward(
+            x, wqkv, bqkv, wproj, bproj, bias, None, h, scale)
+        with pltpu.force_tpu_interpret_mode():
+            got = fm.fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                      msk, h, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+    # grads through the custom VJP with the grouped forward
+    def loss_p(x, wqkv, bqkv, wproj, bproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                        mask, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, bqkv, wproj, bproj, bias):
+        return (fm._ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, h,
+                                scale) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wqkv, bqkv, wproj, bproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_msa_grads_masked(rng):
     """Grads through the fully fused Pallas backward (dx + all weight/bias
     grads accumulated in one kernel) with an additive shift mask present."""
