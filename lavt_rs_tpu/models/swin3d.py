@@ -70,11 +70,18 @@ class WindowAttention3D(nn.Module):
 
         # 3D uses the attention-only kernel (support-gated: window
         # (8,12,12)'s n=1152 falls back to XLA inside window_attention).
-        # The fully fused MSA kernel LOSES here — measured on v5e, Swin-T
-        # A2D clips (window (8,7,7), b=1): fused 74.0 ms/clip vs 59.5 XLA
-        # vs 59.3 attention-only — video's small per-step GEMMs (n=392
-        # windows at c=96..384, few windows per image) don't amortize the
-        # resident-weight grid the way Swin-B's 2D shapes do.
+        # The fully fused MSA kernel LOSES here end-to-end, re-measured
+        # after the fat-GEMM + head-group-split rework (v5e, Swin-T A2D
+        # clips, window (8,7,7), b=1): in ISOLATION the fused kernel wins
+        # every stage (tools/bench_msa_bwd.py --stages v0..v3: fwd+bwd
+        # 4.4/2.2/1.5/1.3 ms vs ~8.9/4.8/4.1/2.2 per block), but routed
+        # into the full model the train step regresses 161 -> 228 ms/clip
+        # and inference 44 -> 76 ms/clip — at these geometries the
+        # surrounding layout copies, device-side mask materialization
+        # (the (nW, N, N) masks stay fused into XLA consumers on this
+        # path) and per-block remat interactions cost more than the
+        # kernels save.  Keep the XLA-composable path; the micro numbers
+        # are NOT sufficient evidence here.
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(b, nw, n, 3, h, c // h)

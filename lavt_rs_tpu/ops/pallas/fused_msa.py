@@ -262,9 +262,10 @@ def _use_fat_gemm(c: int) -> bool:
 
 
 def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
-                    itemsize: int) -> int:
+                    itemsize: int,
+                    budget: int = 10 * 1024 * 1024) -> int:
     """Chunk chooser for the backward kernel: fixed VMEM (weights, grad
-    accumulators, bias + dbias) plus per-chunk buffers under ~10 MB.
+    accumulators, bias + dbias) plus per-chunk buffers under `budget`.
     cq = heads*hd is the q/k/v width covered by this call (== c without
     head-group splitting)."""
     fixed = ((3 * c * cq + cq * c) * itemsize   # wq/wk/wv + wp
@@ -283,31 +284,40 @@ def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
                + ch * n * c * 4              # dx accumulator f32
                + 4 * ch * n * n * 4          # s/p/dp/ds tiles (one head)
                + ch * n * n * 4)             # mask block
-        if fixed + buf <= 10 * 1024 * 1024:
+        if fixed + buf <= budget:
             best = ch
     return best
 
 
 def _pick_head_groups(nw: int, n: int, c: int, heads: int,
                       itemsize: int):
-    """Head-group count G (1/2/4) and chunk size for the fused backward.
+    """Head-group count G (1/2/4/8) and chunk size for the fused backward.
     Splitting heads shrinks the per-call weights + grad accumulators, so
     wider stages trade G× extra x/gy reads for multi-window chunks (fewer,
     fatter grid steps). Picks the G with the best chunk-per-read ratio;
-    None if nothing fits."""
-    best = None
-    for g_count in (1, 2, 4, 8):
-        if heads % g_count:
-            continue
-        if g_count > 1 and ((heads // g_count) * (c // heads)) % 32:
-            continue
-        cq = (heads // g_count) * (c // heads)
-        ch = _pick_chunk_bwd(nw, n, c, cq, heads // g_count, itemsize)
-        if ch >= 1 and (best is None or ch / g_count > best[2]):
-            best = (g_count, ch, ch / g_count)
-    if best is None:
-        return None
-    return best[0], best[1]
+    None if nothing fits.
+
+    Two budget tiers: the conservative 10 MB estimate (under which every
+    Swin-B 480² stage's pick measured optimal — tools/bench_msa_bwd.py),
+    and a 13.5 MB retry used only when nothing fits at 10 MB — video
+    Swin-T's stage 4 (nw=9, n=392, C=768, 24 heads) only fits at
+    G=8/ch=1 (est. 13.1 MB), which compiles fine and measures 1.34 ms
+    fwd+bwd vs 3.6 ms on the XLA path (b=1, v5e)."""
+    for budget in (10 * 1024 * 1024, int(13.5 * 1024 * 1024)):
+        best = None
+        for g_count in (1, 2, 4, 8):
+            if heads % g_count:
+                continue
+            if g_count > 1 and ((heads // g_count) * (c // heads)) % 32:
+                continue
+            cq = (heads // g_count) * (c // heads)
+            ch = _pick_chunk_bwd(nw, n, c, cq, heads // g_count, itemsize,
+                                 budget)
+            if ch >= 1 and (best is None or ch / g_count > best[2]):
+                best = (g_count, ch, ch / g_count)
+        if best is not None:
+            return best[0], best[1]
+    return None
 
 
 def fused_msa_bwd_supported(nw: int, n: int, c: int, heads: int,
@@ -321,8 +331,8 @@ def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
     grads back together (dx sums over groups; dbproj comes from group 0)."""
     b, nw, n, c = x.shape
     dt = x.dtype
-    g_count, _ = _pick_head_groups(nw, n, c, heads,
-                                   jnp.dtype(dt).itemsize)
+    g_count, chunk = _pick_head_groups(nw, n, c, heads,
+                                       jnp.dtype(dt).itemsize)
     hd = c // heads
     hpg = heads // g_count
     w = hpg * hd  # q/k/v columns per group
@@ -339,7 +349,7 @@ def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
         bqkv_g = jnp.concatenate([bqkv[sl], bqkv[c:][sl], bqkv[2 * c:][sl]])
         outs = _fused_bwd_group(x, wqkv_g, bqkv_g, wproj[sl, :],
                                 bias[gi * hpg:(gi + 1) * hpg], mask, g,
-                                hpg, scale)
+                                hpg, scale, chunk)
         dx_g, dwq, dwk, dwv, dwp, dbq, dbk, dbv, dbp_g, dbias = outs
         dx = dx_g if dx is None else dx + dx_g
         dwq_p.append(dwq)
@@ -361,9 +371,13 @@ def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
     return dx, dwqkv, dbqkv, dwproj, dbp, dbias
 
 
-def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
+def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
+                     ch):
     """One head-group backward call. wqkv_g: (C, 3*cq); wp_g: (cq, C);
-    bias: (heads, N, N) for this group's heads. Returns per-part grads."""
+    bias: (heads, N, N) for this group's heads; ch: the window-chunk size
+    chosen by _pick_head_groups (which may come from the 13.5 MB retry
+    tier, so it must be threaded through, not re-picked at the default
+    budget). Returns per-part grads."""
     b, nw, n, c = x.shape
     dt = x.dtype
     cq = wqkv_g.shape[1] // 3
@@ -371,7 +385,6 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale):
     wq, wk, wv = wqc[:, :cq], wqc[:, cq:2 * cq], wqc[:, 2 * cq:]
     bq, bk, bv = bqkv_g[:cq], bqkv_g[cq:2 * cq], bqkv_g[2 * cq:]
     wp = wp_g.astype(dt)
-    ch = _pick_chunk_bwd(nw, n, c, cq, heads, jnp.dtype(dt).itemsize)
     m = b * nw
     xm = x.reshape(m, n, c)
     gm = g.reshape(m, n, c)

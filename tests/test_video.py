@@ -371,3 +371,55 @@ def test_convert_mm_swin3d_sep_seq_fusion_keys():
         assert fusion[name]["conv"]["kernel"].ndim == 5, name
     for name in ("f_key", "f_value", "W", "project_mm"):
         assert fusion[name]["kernel"].shape == (c, c), name
+
+
+def test_fused_bwd_group_uses_threaded_chunk(rng, monkeypatch):
+    """The window-chunk chosen by _pick_head_groups (possibly from the
+    13.5 MB retry tier) must be threaded into _fused_bwd_group, not
+    re-picked at the default budget — re-picking returned chunk 0 for
+    tier-2 geometries (ZeroDivisionError) before the fix.  Forcing a
+    non-default (G=2, ch=1) pick must still produce XLA-parity grads."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lavt_rs_tpu.ops.pallas import fused_msa as fm
+
+    b, nw, n, c, h = 1, 4, 48, 64, 2
+    scale = (c // h) ** -0.5
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)) * 0.1, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+    bproj = jnp.zeros((c,), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.05, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nw, n, n)) > 0.7, -100.0, 0.0), jnp.float32)
+
+    def loss(fwd, *args):
+        return (fwd(*args, bproj, bias, mask, h, scale)
+                .astype(jnp.float32) ** 2).sum()
+
+    g_ref = jax.grad(lambda *a: loss(fm._ref_forward, *a),
+                     argnums=(0, 1, 2, 3))(x, wqkv, bqkv, wproj)
+    monkeypatch.setattr(fm, "_pick_head_groups", lambda *a: (2, 1))
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda *a: loss(fm.fused_window_msa, *a),
+                         argnums=(0, 1, 2, 3))(x, wqkv, bqkv, wproj)
+    for a, bb in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_bwd_picker_tier2_covers_video_stage4():
+    """Video Swin-T stage 4 (nw=9, n=392, C=768, 24 heads) fits only under
+    the 13.5 MB retry tier — the picker must find G=8/ch=1 rather than
+    fall back to XLA (measured 2.9x faster fused, v5e)."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (_pick_head_groups,
+                                                  fused_msa_bwd_supported)
+
+    assert fused_msa_bwd_supported(9, 392, 768, 24, 2)
+    g, ch = _pick_head_groups(9, 392, 768, 24, 2)
+    assert g == 8 and ch == 1
+    # Swin-B 2D picks must be unchanged by the second tier (their tier-1
+    # choices measured optimal in tools/bench_msa_bwd.py).
+    assert _pick_head_groups(100, 144, 128, 4, 2) == (1, 10)
+    assert _pick_head_groups(25, 144, 256, 8, 2) == (2, 5)
+    assert _pick_head_groups(9, 144, 512, 16, 2) == (4, 3)

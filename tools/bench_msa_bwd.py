@@ -24,11 +24,17 @@ import numpy as np
 
 # Swin-B 480², window 12: (nw, n, c, heads); every stage pads to full
 # 12² windows (120->10², 60->5², 30->3² via pad to 36, 15->2² via pad 24).
+# v0..v3: video Swin-T 8-frame 480² clips, window (8,7,7) (n=392; spatial
+# pads 120->126, 60->63, 30->35, 15->21) — bench these with --batch 1.
 STAGES = {
-    0: (100, 144, 128, 4),
-    1: (25, 144, 256, 8),
-    2: (9, 144, 512, 16),
-    3: (4, 144, 1024, 32),
+    "0": (100, 144, 128, 4),
+    "1": (25, 144, 256, 8),
+    "2": (9, 144, 512, 16),
+    "3": (4, 144, 1024, 32),
+    "v0": (324, 392, 96, 3),
+    "v1": (81, 392, 192, 6),
+    "v2": (25, 392, 384, 12),
+    "v3": (9, 392, 768, 24),
 }
 
 
@@ -54,16 +60,22 @@ def main():
     ap.add_argument("--stages", default="0,1,2,3")
     ap.add_argument("--mask", action="store_true",
                     help="include the shift mask (half the blocks have one)")
+    ap.add_argument("--no_sweep", action="store_true",
+                    help="only time the production pick and the XLA path")
+    ap.add_argument("--fwd_only", action="store_true",
+                    help="time the forward only (no grad): fused vs XLA")
+    ap.add_argument("--force", default="",
+                    help="additionally time one forced 'G,ch' combo")
     args = ap.parse_args()
 
     from lavt_rs_tpu.ops.pallas import fused_msa as fm
 
     b = args.batch
-    for si in [int(s) for s in args.stages.split(",")]:
+    for si in args.stages.split(","):
         nw, n, c, heads = STAGES[si]
         hd = c // heads
         scale = hd ** -0.5
-        rng = np.random.default_rng(si)
+        rng = np.random.default_rng(abs(hash(si)) % 2 ** 31)
         dt = jnp.bfloat16
         x = jnp.asarray(rng.standard_normal((b, nw, n, c)) * 0.1, dt)
         wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.02,
@@ -83,6 +95,17 @@ def main():
                                     heads=heads, scale=scale)
             return (y.astype(jnp.float32) ** 2).sum()
 
+        if args.fwd_only:
+            ff = jax.jit(lambda *a: fm._fwd(
+                *a[:4], bproj, a[4], mask, heads, scale).sum())
+            tf = time_marginal(ff, (x, wqkv, bqkv, wproj, bias))
+            fx = jax.jit(lambda *a: fm._ref_forward(
+                *a[:4], bproj, a[4], mask, heads, scale).sum())
+            tx = time_marginal(fx, (x, wqkv, bqkv, wproj, bias))
+            print(f"stage {si} fwd-only: fused {tf * 1e3:.3f} ms, "
+                  f"XLA(f32) {tx * 1e3:.3f} ms", flush=True)
+            continue
+
         grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
         picked = fm._pick_head_groups(nw, n, c, heads, 2)
@@ -98,35 +121,42 @@ def main():
         orig_pick = fm._pick_head_groups
         orig_chunk = fm._pick_chunk_bwd
         results = {}
-        for g in (1, 2, 4, 8):
-            if heads % g or ((heads // g) * hd) % 32:
+        combos = []
+        if not args.no_sweep:
+            combos = [(g, ch) for g in (1, 2, 4, 8)
+                      for ch in range(1, nw + 1)]
+        if args.force:
+            fg, fc = (int(v) for v in args.force.split(","))
+            combos.append((fg, fc))
+        forced = combos[-1:] if args.force else []
+        for g, ch in combos:
+            if heads % g or ((heads // g) * hd) % 32 or nw % ch:
                 continue
             cq = (heads // g) * hd
-            for ch in [d for d in range(1, nw + 1) if nw % d == 0]:
-                fixed = ((3 * c * cq + cq * c) * 2
-                         + (3 * c * cq + cq * c) * 4
-                         + 2 * (heads // g) * n * n * 4)
-                buf = (ch * n * c * 2 * 2 + ch * n * c * 4 + ch * n * cq * 4
-                       + 3 * ch * n * cq * 4
-                       + (4 * ch * n * cq * 2 if fm._use_fat_gemm(c) else 0)
-                       + ch * n * c * 4 + 4 * ch * n * n * 4 + ch * n * n * 4)
-                if fixed + buf > 15 * 1024 * 1024:
-                    continue
-                if (g, ch) == tuple(picked or ()):
-                    continue
-                try:
-                    fm._pick_head_groups = lambda *a, _g=g, _c=ch: (_g, _c)
-                    fm._pick_chunk_bwd = lambda *a, _c=ch: _c
-                    gf = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-                    t = time_marginal(gf, (x, wqkv, bqkv, wproj, bias))
-                    results[(g, ch)] = t
-                    print(f"  G={g} ch={ch}: {t * 1e3:.3f} ms", flush=True)
-                except Exception as e:
-                    print(f"  G={g} ch={ch}: FAIL {type(e).__name__}",
-                          flush=True)
-                finally:
-                    fm._pick_head_groups = orig_pick
-                    fm._pick_chunk_bwd = orig_chunk
+            fixed = ((3 * c * cq + cq * c) * 2
+                     + (3 * c * cq + cq * c) * 4
+                     + 2 * (heads // g) * n * n * 4)
+            buf = (ch * n * c * 2 * 2 + ch * n * c * 4 + ch * n * cq * 4
+                   + 3 * ch * n * cq * 4
+                   + (4 * ch * n * cq * 2 if fm._use_fat_gemm(c) else 0)
+                   + ch * n * c * 4 + 4 * ch * n * n * 4 + ch * n * n * 4)
+            if fixed + buf > 15 * 1024 * 1024 and (g, ch) not in forced:
+                continue
+            if (g, ch) == tuple(picked or ()):
+                continue
+            try:
+                fm._pick_head_groups = lambda *a, _g=g, _c=ch: (_g, _c)
+                fm._pick_chunk_bwd = lambda *a, _c=ch: _c
+                gf = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+                t = time_marginal(gf, (x, wqkv, bqkv, wproj, bias))
+                results[(g, ch)] = t
+                print(f"  G={g} ch={ch}: {t * 1e3:.3f} ms", flush=True)
+            except Exception as e:
+                print(f"  G={g} ch={ch}: FAIL {type(e).__name__}",
+                      flush=True)
+            finally:
+                fm._pick_head_groups = orig_pick
+                fm._pick_chunk_bwd = orig_chunk
 
         # XLA fallback for comparison
         def loss_xla(x, wqkv, bqkv, wproj, bias):
