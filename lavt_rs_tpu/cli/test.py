@@ -127,7 +127,9 @@ def main(argv=None):
                 jnp.ones((1, cfg.max_tokens), jnp.int32))
 
     summary = evaluate(lambda v, *a: model.apply(v, *a), variables, ds,
-                       max_items=args.max_items or None)
+                       max_items=args.max_items or None,
+                       image_dtype=(jnp.bfloat16
+                                    if cfg.dtype == "bfloat16" else None))
     print(summary)
 
     if args.save_vis:

@@ -9,6 +9,9 @@ TPU-native twists over the reference's per-sentence python loop:
   * sentences are PADDED to one fixed S so the whole eval runs through a
     single compiled program (RefCOCO refs carry 1-3+ sentences; jitting per
     count caused a compile per distinct S and batch-1-style utilization);
+  * multiple refs are BATCHED per forward (refs_per_batch, default sized
+    so the device batch is ~8 — the measured single-chip throughput knee),
+    with the final partial batch padded by repeating the last ref;
   * the jitted forward is cached per model_apply object, so per-epoch eval
     during training does not recompile.
 """
@@ -35,12 +38,22 @@ def _fwd_iou_for(model_apply: Callable):
     if fn is None:
         @jax.jit
         def fwd_iou(variables, image, ids, mask, target):
-            logits = model_apply(variables, image, ids, mask)
-            pred = jnp.argmax(logits, axis=-1)
-            gt = target.astype(jnp.float32)
+            """image (R, H, W, 3) and target (R, H, W) are per-REF; ids /
+            mask (R, S, L) per sentence.  The xS broadcast happens ON
+            DEVICE — shipping each ref's image/target once instead of S
+            times cuts host->device transfer ~3x (the eval loop is
+            transfer-bound on a remote-attached TPU)."""
+            r, s = ids.shape[:2]
+            h, w = image.shape[1:3]
+            img = jnp.broadcast_to(image[:, None], (r, s, h, w, 3))
+            logits = model_apply(variables, img.reshape(r * s, h, w, 3),
+                                 ids.reshape(r * s, -1),
+                                 mask.reshape(r * s, -1))
+            pred = jnp.argmax(logits, axis=-1).reshape(r, s, h, w)
+            gt = target.astype(jnp.float32)[:, None]
             predf = pred.astype(jnp.float32)
-            inter = jnp.sum(predf * gt, axis=(1, 2))
-            union = jnp.sum(jnp.maximum(predf, gt), axis=(1, 2))
+            inter = jnp.sum(predf * gt, axis=(2, 3))
+            union = jnp.sum(jnp.maximum(predf, gt), axis=(2, 3))
             return inter, union
 
         _FWD_CACHE[model_apply] = fwd_iou
@@ -51,8 +64,13 @@ def _fwd_iou_for(model_apply: Callable):
 def evaluate(model_apply: Callable, variables, ds: ReferDataset,
              log_every: int = 100, max_items: Optional[int] = None,
              pad_sentences: Optional[int] = None,
-             out_stream=None) -> dict:
-    """model_apply(variables, image, ids, mask) -> NHWC logits."""
+             refs_per_batch: Optional[int] = None,
+             image_dtype=None, out_stream=None) -> dict:
+    """model_apply(variables, image, ids, mask) -> NHWC logits.
+
+    image_dtype: ship images to the device in this dtype (pass bfloat16
+    for a bf16 model — its first op casts anyway, so this is lossless and
+    halves the dominant host->device transfer on remote-attached TPUs)."""
     if out_stream is None:  # resolve at call time, not import time
         out_stream = sys.stderr
     metrics = SegMetrics()
@@ -64,25 +82,36 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
         smax = max(len(x) for x in ds.input_ids)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
+    sp0 = max(smax or 1, 1)
+    rb = refs_per_batch or max(1, -(-8 // sp0))  # device batch ~>= 8
     t0 = time.time()
+    buf = []
     for i in range(n):
-        ex = ds[i]
-        s = ex.ids.shape[0]  # sentences for this ref
-        ids = ex.ids.astype(np.int32)
-        mask = ex.mask.astype(np.int32)
-        sp = max(smax or s, s)
-        if sp > s:
-            pad = ((0, sp - s), (0, 0))
-            ids = np.pad(ids, pad)
-            mask = np.pad(mask, pad)
-        image = jnp.asarray(np.broadcast_to(ex.image[None],
-                                            (sp,) + ex.image.shape))
-        target = jnp.asarray(np.broadcast_to(ex.target[None],
-                                             (sp,) + ex.target.shape))
+        buf.append(ds[i])
+        if len(buf) < rb and i + 1 < n:
+            continue
+        real = len(buf)
+        buf.extend([buf[-1]] * (rb - real))  # pad final batch, ignored below
+        sp = max([sp0] + [ex.ids.shape[0] for ex in buf])
+        ids = np.zeros((rb, sp) + buf[0].ids.shape[1:], np.int32)
+        mask = np.zeros((rb, sp) + buf[0].mask.shape[1:], np.int32)
+        for j, ex in enumerate(buf):
+            ids[j, :ex.ids.shape[0]] = ex.ids
+            mask[j, :ex.mask.shape[0]] = ex.mask
+        image = np.stack([ex.image for ex in buf])
+        if image_dtype is not None:
+            image = image.astype(image_dtype)
+        image = jnp.asarray(image)
+        target = jnp.asarray(np.stack([ex.target for ex in buf])
+                             .astype(np.int32))
         inter, union = fwd_iou(variables, image, jnp.asarray(ids),
                                jnp.asarray(mask), target)
-        metrics.update(np.asarray(inter)[:s], np.asarray(union)[:s])
-        if log_every and (i + 1) % log_every == 0:
+        inter, union = np.asarray(inter), np.asarray(union)
+        for j, ex in enumerate(buf[:real]):
+            s = ex.ids.shape[0]
+            metrics.update(inter[j, :s], union[j, :s])
+        buf = []
+        if log_every and (i + 1) % log_every < rb:
             el = time.time() - t0
             print(f"eval [{i + 1}/{n}] {el:.1f}s "
                   f"({metrics.n / el:.2f} sent/s)", file=out_stream)

@@ -82,8 +82,10 @@ def _pick_rows(m: int, c: int, hidden: int, itemsize: int) -> int:
     buffered x/out) fits a ~6 MB budget.
 
     Sub-full blocks must have a sublane dim divisible by 8 (Mosaic (8, 128)
-    tiling)."""
-    best = 1
+    tiling); when m has no such divisor (e.g. m = 2700 rows from an
+    sp=3-sentence eval batch at 30x30 tokens) returns 0 and the caller
+    falls back to the XLA chain — a (1, C) block is NOT legal."""
+    best = 0
     for tc in range(1, min(m, 2048) + 1):
         if m % tc or (tc != m and tc % 8):
             continue
@@ -103,6 +105,13 @@ def _fwd(x, g, be, w1, b1, w2, b2, keep_rows=None):
     w1c = w1.astype(dt)
     w2c = w2.astype(dt)
     tc = _pick_rows(m, c, hidden, jnp.dtype(dt).itemsize)
+    if tc < 1:
+        # No Mosaic-legal row block for this m: same math through XLA.
+        y = _ref_forward(x, g, be, w1, b1, w2, b2)
+        if keep_rows is not None:
+            xf = x.astype(jnp.float32)
+            y = xf + (y - xf) * keep_rows
+        return y.astype(dt)
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)

@@ -131,3 +131,45 @@ def test_forward_with_features():
     assert "classifier" in feats
     # decoder fuse stages captured (the forward_feats analogue)
     assert any(k.startswith("fuse") for k in feats["classifier"])
+
+
+def test_refcoco_eval_ref_batching_parity(rng):
+    """refs_per_batch batches multiple refs per forward (padded sentences,
+    final batch padded by repetition) — metrics must equal the per-ref
+    loop exactly."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.eval.refcoco_eval import evaluate
+
+    class DS:
+        def __init__(self):
+            counts = (1, 3, 2, 1, 2, 3, 1)
+            self.input_ids = [list(range(k)) for k in counts]
+            self.items = [SimpleNamespace(
+                image=rng.standard_normal((8, 8, 3)).astype(np.float32),
+                target=(rng.random((8, 8)) > 0.5).astype(np.int64),
+                ids=rng.integers(1, 100, (k, 5)).astype(np.int64),
+                mask=np.ones((k, 5), np.int64)) for k in counts]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    w = jnp.asarray(rng.standard_normal((5, 2)).astype(np.float32))
+
+    def apply(variables, image, ids, mask):
+        feat = image.sum(-1)[..., None] * 0.1
+        txt = (ids.astype(jnp.float32) @ w)[:, None, None, :] * 0.01
+        return feat + txt
+
+    ds = DS()
+    a = evaluate(apply, None, ds, log_every=0, refs_per_batch=1)
+    b = evaluate(apply, None, ds, log_every=0, refs_per_batch=4)
+    c = evaluate(apply, None, ds, log_every=0)  # default batch sizing
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12), k
+        assert a[k] == pytest.approx(c[k], abs=1e-12), k

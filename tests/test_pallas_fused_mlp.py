@@ -240,3 +240,27 @@ def test_swin_block3d_pallas_matches_xla(rng):
         got = blk_p.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fwd_falls_back_when_no_legal_row_block(rng):
+    """m = 2700 (an sp=3-sentence eval batch at 30x30 tokens, C=512) has no
+    divisor that is a multiple of 8, and the full-array block busts the
+    VMEM budget: _pick_rows must return 0 (a (1, C) block is not legal on
+    Mosaic) and fused_ln_mlp must produce the same values via the XLA
+    fallback instead of crashing at compile."""
+    from lavt_rs_tpu.ops.pallas.fused_mlp import (_pick_rows, _ref_forward,
+                                                  fused_ln_mlp)
+
+    m, c, hidden = 2700, 512, 2048
+    assert _pick_rows(m, c, hidden, 2) == 0
+    x = jnp.asarray(rng.standard_normal((m, c)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hidden)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c)) * 0.02, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    got = fused_ln_mlp(x, g, be, w1, b1, w2, b2)
+    ref = _ref_forward(x, g, be, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
