@@ -342,7 +342,10 @@ def main(argv=None):
         if do_eval and not video:
             from ..eval.refcoco_eval import evaluate
 
-            summary = evaluate(eval_apply, eval_vars, val_ds, log_every=0)
+            summary = evaluate(eval_apply, eval_vars, val_ds, log_every=0,
+                               image_dtype=(jnp.bfloat16
+                                            if cfg.dtype == "bfloat16"
+                                            else None))
             tag = (f"mIoU_{summary['mIoU']:.2f}"
                    f"_oIoU_{summary['oIoU']:.2f}")
         elif do_eval and video and val_ds is not None:
