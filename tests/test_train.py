@@ -184,6 +184,7 @@ def test_data_parallel_matches_single_device():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_replicated():
     """dp x tp (2x4 mesh): Megatron-style param shardings on the 'model'
     axis (parallel/tp.py) must produce the same forward logits as the
@@ -289,6 +290,7 @@ def test_syncbn_batch_stats_are_global():
                                    err_msg=str(kp))
 
 
+@pytest.mark.slow
 def test_zero1_opt_state_sharding_matches_replicated():
     """ZeRO-1 moment sharding over 'data' must not change the update."""
     import dataclasses

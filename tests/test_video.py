@@ -240,6 +240,7 @@ def test_video_train_step_descends():
     assert min(losses[-3:]) < losses[0], losses
 
 
+@pytest.mark.slow
 def test_video_frame_axis_sharding_matches_unsharded():
     """Whole-video inference with the frame axis sharded across the mesh
     (the HBM-overflow strategy for long YTVOS clips) must match the
