@@ -94,7 +94,8 @@ def main(argv=None):
         tok = WordPieceTokenizer.from_vocab_file(args.vocab)
         ds = ReferDataset(refer, tok, split=args.split,
                           img_size=args.img_size,
-                          max_tokens=args.max_tokens, eval_mode=True)
+                          max_tokens=args.max_tokens, eval_mode=True,
+                          host_normalize=False)  # normalize on device
 
         if args.checkpoint.endswith((".pth", ".pt")):
             variables = jax.tree.map(
@@ -138,10 +139,12 @@ def main(argv=None):
         from PIL import Image
 
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from ..ops.norm import maybe_normalize_image
         from ..utils.visualize import vis_add_mask
 
         os.makedirs(args.save_vis, exist_ok=True)
-        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+        fwd = jax.jit(lambda v, im, *a: model.apply(
+            v, maybe_normalize_image(im), *a))
         n = min(len(ds), args.max_items or 16, 16)
         for i in range(n):
             ex = ds[i]
@@ -151,8 +154,9 @@ def main(argv=None):
                          jnp.asarray(ids[:1].astype(np.int32)),
                          jnp.asarray(msk[:1].astype(np.int32)))
             pred = np.asarray(logits)[0].argmax(-1).astype(np.uint8)
-            img = ((ex.image * IMAGENET_STD + IMAGENET_MEAN) * 255
-                   ).clip(0, 255).astype(np.uint8)
+            img = (ex.image if ex.image.dtype == np.uint8 else
+                   ((ex.image * IMAGENET_STD + IMAGENET_MEAN) * 255
+                    ).clip(0, 255).astype(np.uint8))
             Image.fromarray(vis_add_mask(img, pred, 0)).save(
                 os.path.join(args.save_vis, f"{i:05d}_pred.png"))
             Image.fromarray(vis_add_mask(img, ex.target > 0, 1)).save(
@@ -162,6 +166,7 @@ def main(argv=None):
     if args.save_feats:
         import os
 
+        from ..data.transforms import normalize as _host_norm
         from ..eval.features import forward_with_features
 
         os.makedirs(args.save_feats, exist_ok=True)
@@ -170,8 +175,10 @@ def main(argv=None):
             ex = ds[i]
             ids = ex.ids if ex.ids.ndim == 2 else ex.ids[None]
             msk = ex.mask if ex.mask.ndim == 2 else ex.mask[None]
+            image = (_host_norm(ex.image)
+                     if ex.image.dtype == np.uint8 else ex.image)
             _, feats = forward_with_features(
-                model, variables, jnp.asarray(ex.image[None]),
+                model, variables, jnp.asarray(image[None]),
                 jnp.asarray(ids[:1].astype(np.int32)),
                 jnp.asarray(msk[:1].astype(np.int32)))
             flat = {}
@@ -295,7 +302,8 @@ def _eval_a2d(args, cfg, model):
         ds = A2DSentencesDataset(
             args.a2d_data_root, args.a2d_ann, tok, subset=args.split,
             num_frames=args.num_frames, clip_length=args.clip_length,
-            img_size=args.img_size, max_tokens=cfg.max_tokens)
+            img_size=args.img_size, max_tokens=cfg.max_tokens,
+            host_normalize=False)
         variables = _load_video_variables(args, cfg, model)
     summary = evaluate_a2d(lambda v, *a: model.apply(v, *a), variables, ds,
                            max_items=args.max_items or None)
@@ -307,9 +315,12 @@ def _eval_a2d(args, cfg, model):
         from PIL import Image
         import jax.numpy as jnp
 
+        from ..ops.norm import maybe_normalize_image
+
         out = os.path.join(args.output_dir or ".", "a2d_masks")
         os.makedirs(out, exist_ok=True)
-        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+        fwd = jax.jit(lambda v, im, *a: model.apply(
+            v, maybe_normalize_image(im), *a))
         n = min(len(ds), args.max_items or 32)
         for i in range(n):
             ex = ds[i]

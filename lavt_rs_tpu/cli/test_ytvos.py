@@ -75,8 +75,9 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..data.transforms import normalize, resize_pair
+    from ..data.transforms import load_image_resized
     from ..models.factory import build_model
+    from ..ops.norm import maybe_normalize_image
     from ..ops.resize import resize_2d
     from ..text.tokenizer import WordPieceTokenizer
 
@@ -105,22 +106,27 @@ def main(argv=None):
     is_video = cfg.name == "lavt_video"
 
     variables = None
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    # frames ship as uint8 (4x less host->device traffic for whole-video
+    # clips); ImageNet normalization happens on device
+    fwd = jax.jit(lambda v, im, *a: model.apply(
+        v, maybe_normalize_image(im), *a))
 
     for vi, vid in enumerate(names):
         frames = sorted(videos[vid]["frames"])
         imgs, sizes = [], None
         for fr in frames:
-            img = Image.open(os.path.join(
-                args.ytvos_data_root, args.split, "JPEGImages", vid,
-                f"{fr}.jpg")).convert("RGB")
-            sizes = (img.height, img.width)
-            rimg, _ = resize_pair(img, None, (args.img_size, args.img_size))
-            imgs.append(normalize(np.asarray(rimg)))
+            path = os.path.join(args.ytvos_data_root, args.split,
+                                "JPEGImages", vid, f"{fr}.jpg")
+            if sizes is None:  # header-only parse, no decode
+                with Image.open(path) as im:
+                    sizes = (im.height, im.width)
+            imgs.append(load_image_resized(path, args.img_size,
+                                           host_normalize=False))
         clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
 
         if variables is None:
-            init_vis = clip[:, :1] if is_video else clip[:, 0]
+            init_vis = maybe_normalize_image(
+                clip[:, :1] if is_video else clip[:, 0])
             if args.checkpoint.endswith((".pth", ".pt")):
                 from .test import _convert_torch_checkpoint
 

@@ -101,14 +101,15 @@ def main(argv=None):
             train_ds = A2DSentencesDataset(
                 args.a2d_data_root, args.a2d_ann, tok, subset="train",
                 num_frames=args.num_frames, clip_length=args.clip_length,
-                img_size=args.img_size, max_tokens=args.max_tokens)
+                img_size=args.img_size, max_tokens=args.max_tokens,
+                host_normalize=False)
         elif args.dataset == "ytvos":
             from ..data.ytvos import YTVOSDataset
 
             train_ds = YTVOSDataset(
                 args.ytvos_data_root, args.ytvos_ann, tok,
                 num_frames=args.num_frames, img_size=args.img_size,
-                max_tokens=args.max_tokens)
+                max_tokens=args.max_tokens, host_normalize=False)
         elif args.dataset in ("ref_pseudo_video", "joint") or \
                 args.image_combined_3d_pretrain:
             # RefCOCO images as augmented pseudo-clips; combined-3D
@@ -140,21 +141,23 @@ def main(argv=None):
                     parts.append(build_refexp_dataset(
                         name, args.split, args.refer_data_root, tok,
                         num_frames=args.num_frames, img_size=args.img_size,
-                        max_tokens=args.max_tokens, seed=args.seed))
+                        max_tokens=args.max_tokens, seed=args.seed,
+                        host_normalize=False))
                 else:
                     refer = REFER(args.refer_data_root, name, sb)
                     parts.append(ReferPseudoVideos(
                         refer, tok, split=args.split,
                         num_frames=args.num_frames, img_size=args.img_size,
                         max_tokens=args.max_tokens,
-                        augmenter=ImageToSeqAugmenter(seed=args.seed)))
+                        augmenter=ImageToSeqAugmenter(seed=args.seed),
+                        host_normalize=False))
             if args.dataset == "joint":
                 from ..data.ytvos import YTVOSDataset
 
                 parts.append(YTVOSDataset(
                     args.ytvos_data_root, args.ytvos_ann, tok,
                     num_frames=args.num_frames, img_size=args.img_size,
-                    max_tokens=args.max_tokens))
+                    max_tokens=args.max_tokens, host_normalize=False))
             train_ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
         else:
             raise ValueError(f"unknown video dataset {args.dataset}")
@@ -169,7 +172,8 @@ def main(argv=None):
             val_ds = A2DSentencesDataset(
                 args.a2d_data_root, args.a2d_ann, tok, subset=args.val_split,
                 num_frames=args.num_frames, clip_length=args.clip_length,
-                img_size=args.img_size, max_tokens=args.max_tokens)
+                img_size=args.img_size, max_tokens=args.max_tokens,
+                host_normalize=False)
         elif args.dataset == "ref_pseudo_video" or \
                 args.image_combined_3d_pretrain:
             # evaluate_ref_3d equivalent: RefCOCO val refs as static
@@ -179,7 +183,7 @@ def main(argv=None):
             val_ds = ReferPseudoVideos(
                 refer_val, tok, split=args.val_split,
                 num_frames=args.num_frames, img_size=args.img_size,
-                max_tokens=args.max_tokens)
+                max_tokens=args.max_tokens, host_normalize=False)
 
         from ..data.loader import PrefetchLoader, collate_video
 
@@ -209,15 +213,18 @@ def main(argv=None):
                 r = REFER(args.refer_data_root, name, sb)
                 parts.append(ReferDataset(r, tok, split=args.split,
                                           img_size=args.img_size,
-                                          max_tokens=22))
+                                          max_tokens=22,
+                                          host_normalize=False))
             train_ds = ConcatDataset(parts)
         else:
             train_ds = ReferDataset(refer, tok, split=args.split,
                                     img_size=args.img_size,
-                                    max_tokens=args.max_tokens)
+                                    max_tokens=args.max_tokens,
+                                    host_normalize=False)
         val_ds = ReferDataset(refer, tok, split=args.val_split,
                               img_size=args.img_size,
-                              max_tokens=args.max_tokens, eval_mode=True)
+                              max_tokens=args.max_tokens, eval_mode=True,
+                              host_normalize=False)
 
         # threaded decode/resize overlapped with the TPU step (the
         # reference's DataLoader-workers equivalent, train.py:554-563)
@@ -243,7 +250,13 @@ def main(argv=None):
         col = collate_video if video else collate_refer
         b0 = col([train_ds[0]])
         b0 = {k: v[:1] for k, v in b0.items()}
-    vis0 = b0["video"] if video else b0["image"]
+    vis0 = np.asarray(b0["video"] if video else b0["image"])
+    if vis0.dtype == np.uint8:
+        # the uint8 pipeline normalizes on device inside the step; for the
+        # one-off init, normalize on host so init sees the real input dist
+        from ..data.transforms import normalize as _host_norm
+
+        vis0 = _host_norm(vis0)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), jnp.asarray(vis0),
         jnp.asarray(b0["ids"]), jnp.asarray(b0["mask"]))

@@ -26,7 +26,7 @@ import numpy as np
 from PIL import Image
 
 from ..text.tokenizer import WordPieceTokenizer
-from .transforms import normalize, resize_pair
+from .transforms import normalize, resize_pair, resize_rgb_np
 from .video_sampling import consecutive_window, sparse_sample
 
 
@@ -74,7 +74,9 @@ class A2DSentencesDataset:
     def __init__(self, root: str, ann_file: str,
                  tokenizer: WordPieceTokenizer, subset: str = "train",
                  num_frames: int = 8, clip_length: int = 16,
-                 img_size: int = 480, max_tokens: int = 22, seed: int = 0):
+                 img_size: int = 480, max_tokens: int = 22, seed: int = 0,
+                 host_normalize: bool = True):
+        self.host_normalize = host_normalize
         self.videos_dir = os.path.join(root, "Release", "clips320H")
         self.masks_dir = os.path.join(
             root, "Release", "a2d_annotation_with_instances")
@@ -122,10 +124,10 @@ class A2DSentencesDataset:
             by_idx = dict(zip(sorted(set(indices)), frames))
             clip = []
             for i in indices:
-                img = Image.fromarray(by_idx[i])
-                img, _ = resize_pair(img, None,
-                                     (self.img_size, self.img_size))
-                clip.append(normalize(np.asarray(img)))
+                # native resize fast path (cv2 owns the mp4 decode)
+                arr = resize_rgb_np(by_idx[i],
+                                    self.img_size)
+                clip.append(normalize(arr) if self.host_normalize else arr)
             video = np.stack(clip)
 
             raw_mask = self._load_mask(video_id, int(frame_idx), instance_id)

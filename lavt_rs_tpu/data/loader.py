@@ -66,14 +66,20 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    items = list(pool.map(self.ds.__getitem__,
-                                          [int(i) for i in idxs]))
-                    batch = self.collate(items)
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    q.put(batch)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        items = list(pool.map(self.ds.__getitem__,
+                                              [int(i) for i in idxs]))
+                        batch = self.collate(items)
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        q.put(batch)
+            except RuntimeError:
+                # interpreter shutdown while the daemon producer was still
+                # filling the queue (abandoned iterator at process exit) —
+                # the pool refuses new futures; nothing left to produce
+                pass
             q.put(_SENTINEL)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -89,7 +95,9 @@ class PrefetchLoader:
 def collate_refer(items: Sequence) -> Dict[str, np.ndarray]:
     return {
         "image": np.stack([it.image for it in items]),
-        "target": np.stack([it.target for it in items]),
+        # binary masks ship as uint8 — a 480-squared int32 target is 4x the
+        # bytes of the uint8 image itself; every consumer takes any int dtype
+        "target": np.stack([it.target for it in items]).astype(np.uint8),
         "ids": np.stack([it.ids for it in items]).astype(np.int32),
         "mask": np.stack([it.mask for it in items]).astype(np.int32),
     }
@@ -98,7 +106,7 @@ def collate_refer(items: Sequence) -> Dict[str, np.ndarray]:
 def collate_video(items: Sequence) -> Dict[str, np.ndarray]:
     return {
         "video": np.stack([it.video for it in items]),
-        "target": np.stack([it.target for it in items]),
+        "target": np.stack([it.target for it in items]).astype(np.uint8),
         "ids": np.stack([it.ids for it in items]).astype(np.int32),
         "mask": np.stack([it.mask for it in items]).astype(np.int32),
         "valid_index": np.asarray([it.valid_index for it in items],

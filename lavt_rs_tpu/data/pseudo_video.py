@@ -26,7 +26,7 @@ from PIL import Image
 from ..text.tokenizer import WordPieceTokenizer
 from .a2d import VideoExample
 from .refer import REFER
-from .transforms import normalize, resize_pair
+from .transforms import normalize, resize_rgb_np
 
 
 class ImageToSeqAugmenter:
@@ -107,7 +107,8 @@ class ReferPseudoVideos:
                  split: str = "train", num_frames: int = 8,
                  img_size: int = 480, max_tokens: int = 22,
                  augmenter: Optional[ImageToSeqAugmenter] = None,
-                 seed: int = 0):
+                 seed: int = 0, host_normalize: bool = True):
+        self.host_normalize = host_normalize
         self.refer = refer
         self.tokenizer = tokenizer
         self.num_frames = num_frames
@@ -136,11 +137,10 @@ class ReferPseudoVideos:
                 f, mk = self.augmenter(base, mask)
             else:
                 f, mk = base, mask
-            fi, mi = resize_pair(Image.fromarray(f),
-                                 Image.fromarray(mk.astype(np.uint8),
-                                                 mode="P"),
-                                 (self.img_size, self.img_size))
-            frames.append(normalize(np.asarray(fi)))
+            arr = resize_rgb_np(f, self.img_size)  # native fast path
+            frames.append(normalize(arr) if self.host_normalize else arr)
+            mi = Image.fromarray(mk.astype(np.uint8), mode="P").resize(
+                (self.img_size, self.img_size), Image.NEAREST)
             masks.append(np.asarray(mi).astype(np.int32))
 
         order = list(range(self.num_frames))

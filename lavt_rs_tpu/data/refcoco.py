@@ -24,7 +24,7 @@ from PIL import Image
 
 from ..text.tokenizer import WordPieceTokenizer
 from .refer import REFER
-from .transforms import preprocess
+from .transforms import load_image_resized
 
 
 @dataclasses.dataclass
@@ -40,13 +40,15 @@ class ReferDataset:
     def __init__(self, refer: REFER, tokenizer: WordPieceTokenizer,
                  split: str = "train", img_size: int = 480,
                  max_tokens: int = 20, eval_mode: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, host_normalize: bool = True):
         self.refer = refer
         self.tokenizer = tokenizer
         self.split = split
         self.img_size = img_size
         self.max_tokens = max_tokens
         self.eval_mode = eval_mode
+        self.host_normalize = host_normalize  # False -> uint8 images,
+        # normalized on device (ops/norm.py maybe_normalize_image)
         self.rng = np.random.default_rng(seed)
 
         self.ref_ids: List[int] = refer.getRefIds(split=split)
@@ -70,10 +72,15 @@ class ReferDataset:
     def __getitem__(self, index: int) -> ReferExample:
         ref_id = self.ref_ids[index]
         ref = self.refer.Refs[ref_id]
-        img = Image.open(self.refer.image_path(ref["image_id"]))
+        # image through the native decode+resize fast path (PIL fallback)
+        image = load_image_resized(self.refer.image_path(ref["image_id"]),
+                                   self.img_size,
+                                   host_normalize=self.host_normalize)
         ref_mask = self.refer.getMask(ref)["mask"]
         mask_img = Image.fromarray(ref_mask.astype(np.uint8), mode="P")
-        image, target = preprocess(img, mask_img, self.img_size)
+        mask_img = mask_img.resize((self.img_size, self.img_size),
+                                   Image.NEAREST)
+        target = np.asarray(mask_img).astype(np.int32)
 
         if self.eval_mode:
             ids = self.input_ids[index]  # all sentences (S, N_l)

@@ -31,7 +31,7 @@ from ..text.tokenizer import WordPieceTokenizer
 from .a2d import VideoExample
 from .coco_mask import annotation_to_mask
 from .pseudo_video import ImageToSeqAugmenter
-from .transforms import normalize, resize_pair
+from .transforms import normalize, resize_rgb_np
 
 
 class RefExpPseudoVideos:
@@ -41,7 +41,8 @@ class RefExpPseudoVideos:
                  tokenizer: WordPieceTokenizer, num_frames: int = 8,
                  img_size: int = 480, max_tokens: int = 22,
                  augmenter: Optional[ImageToSeqAugmenter] = None,
-                 seed: int = 0):
+                 seed: int = 0, host_normalize: bool = True):
+        self.host_normalize = host_normalize
         self.img_folder = img_folder
         self.tokenizer = tokenizer
         self.num_frames = num_frames
@@ -92,11 +93,10 @@ class RefExpPseudoVideos:
                 f, mk = self.augmenter(base, mask)
             else:
                 f, mk = base, mask
-            fi, mi = resize_pair(Image.fromarray(f),
-                                 Image.fromarray(mk.astype(np.uint8),
-                                                 mode="P"),
-                                 (self.img_size, self.img_size))
-            frames.append(normalize(np.asarray(fi)))
+            arr = resize_rgb_np(f, self.img_size)  # native fast path
+            frames.append(normalize(arr) if self.host_normalize else arr)
+            mi = Image.fromarray(mk.astype(np.uint8), mode="P").resize(
+                (self.img_size, self.img_size), Image.NEAREST)
             masks.append(np.asarray(mi).astype(np.int32))
 
         order = list(range(self.num_frames))

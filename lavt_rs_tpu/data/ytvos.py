@@ -22,14 +22,16 @@ from PIL import Image
 
 from ..text.tokenizer import WordPieceTokenizer
 from .a2d import VideoExample
-from .transforms import normalize, resize_pair
+from .transforms import load_image_resized
 from .video_sampling import sparse_sample
 
 
 class YTVOSDataset:
     def __init__(self, img_folder: str, ann_file: str,
                  tokenizer: WordPieceTokenizer, num_frames: int = 8,
-                 img_size: int = 480, max_tokens: int = 22, seed: int = 0):
+                 img_size: int = 480, max_tokens: int = 22, seed: int = 0,
+                 host_normalize: bool = True):
+        self.host_normalize = host_normalize
         self.img_folder = img_folder
         self.num_frames = num_frames
         self.img_size = img_size
@@ -72,14 +74,15 @@ class YTVOSDataset:
 
             clip, masks = [], []
             for i in indices:
-                img = Image.open(self._frame_path(meta["video"], frames[i]))
+                # frame JPEG through the native decode+resize fast path
+                clip.append(load_image_resized(
+                    self._frame_path(meta["video"], frames[i]),
+                    self.img_size, host_normalize=self.host_normalize))
                 png = Image.open(self._mask_path(meta["video"], frames[i]))
                 m = (np.asarray(png.convert("P")) == meta["obj_id"]
                      ).astype(np.uint8)
-                img, m_img = resize_pair(
-                    img.convert("RGB"), Image.fromarray(m, mode="P"),
-                    (self.img_size, self.img_size))
-                clip.append(normalize(np.asarray(img)))
+                m_img = Image.fromarray(m, mode="P").resize(
+                    (self.img_size, self.img_size), Image.NEAREST)
                 masks.append(np.asarray(m_img).astype(np.int32))
 
             target = masks[valid_index]

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..metrics import SegMetrics
 from ..metrics_video import JFMetrics
+from ..ops.norm import maybe_normalize_image
 
 # jitted forward cached per model_apply object so per-epoch eval during
 # training does not recompile
@@ -30,7 +31,8 @@ def _fwd_for(model_apply: Callable):
     fn = _FWD_CACHE.get(model_apply)
     if fn is None:
         fn = jax.jit(lambda variables, video, ids, mask:
-                     model_apply(variables, video, ids, mask))
+                     model_apply(variables, maybe_normalize_image(video),
+                                 ids, mask))
         _FWD_CACHE[model_apply] = fn
     return fn
 

@@ -14,6 +14,26 @@ import jax
 import jax.numpy as jnp
 
 
+def maybe_normalize_image(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side ImageNet normalization for uint8 image/video tensors.
+
+    The input pipeline may ship images as raw resized uint8 (4x smaller
+    host->device transfer, no host float math — see data/transforms.py
+    `preprocess(host_normalize=False)`); the first thing the jitted step
+    does is this exact f32 normalize.  Standalone it is bit-identical to
+    the host-side numpy version (same IEEE ops); inside a fused graph XLA
+    may contract it into FMAs, which agrees to 1 ulp (~7e-7, asserted in
+    tests/test_train.py).  Already-normalized float inputs pass through
+    untouched, so every existing call site keeps working.
+    """
+    if x.dtype != jnp.uint8:
+        return x
+    # constants mirror data/transforms.py IMAGENET_MEAN/STD
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def instance_norm_tokens(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm1d(affine=False) over a (..., L, C) token tensor.
 

@@ -24,6 +24,7 @@ import optax
 from ..config import ModelConfig
 from ..losses import get_loss
 from ..metrics import batch_iou
+from ..ops.norm import maybe_normalize_image
 from .optim import TrainConfig, build_optimizer
 
 
@@ -62,7 +63,8 @@ def make_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
     def compute_loss(params, batch_stats, batch, rng):
         out, mutated = model_train.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], batch["ids"], batch["mask"],
+            maybe_normalize_image(batch["image"]),
+            batch["ids"], batch["mask"],
             deterministic=False, rngs={"dropout": rng},
             mutable=["batch_stats"])
         loss = loss_fn(out, batch["target"])
@@ -112,7 +114,8 @@ def make_video_train_step(model_train, tx, tcfg: TrainConfig) -> Callable:
     def compute_loss(params, batch_stats, batch, rng):
         out, mutated = model_train.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["video"], batch["ids"], batch["mask"],
+            maybe_normalize_image(batch["video"]),
+            batch["ids"], batch["mask"],
             deterministic=False, rngs={"dropout": rng},
             mutable=["batch_stats"])
         b, t = batch["video"].shape[:2]
@@ -147,8 +150,8 @@ def make_eval_step(model_eval) -> Callable:
     """Returns eval_step(variables, batch) -> (logits, inter, union)."""
 
     def eval_step(variables, batch):
-        out = model_eval.apply(variables, batch["image"], batch["ids"],
-                               batch["mask"])
+        out = model_eval.apply(variables, maybe_normalize_image(batch["image"]),
+                               batch["ids"], batch["mask"])
         inter, union = batch_iou(out, batch["target"])
         return out, inter, union
 

@@ -141,6 +141,30 @@ def test_preprocess_normalization():
     assert abs(x[0, 0, 0] - want) < 1e-5
 
 
+def test_uint8_pipeline_matches_host_normalize(synthetic_refcoco):
+    """host_normalize=False ships resized uint8; the device-side
+    maybe_normalize_image must reproduce the host normalize bit-exactly
+    (same IEEE f32 ops), so the two pipelines are interchangeable."""
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.ops.norm import maybe_normalize_image
+
+    r = REFER(synthetic_refcoco, "refcoco", "unc")
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(VOCAB)})
+    ds_f32 = ReferDataset(r, tok, split="train", img_size=32, max_tokens=8)
+    ds_u8 = ReferDataset(r, tok, split="train", img_size=32, max_tokens=8,
+                         host_normalize=False)
+    a, b = ds_f32[0], ds_u8[0]
+    assert b.image.dtype == np.uint8
+    assert a.image.dtype == np.float32
+    dev = np.asarray(maybe_normalize_image(jnp.asarray(b.image)))
+    np.testing.assert_array_equal(a.image, dev)
+    # float inputs pass through untouched
+    same = np.asarray(maybe_normalize_image(jnp.asarray(a.image)))
+    np.testing.assert_array_equal(a.image, same)
+    np.testing.assert_array_equal(a.target, b.target)
+
+
 def test_prefetch_loader(synthetic_refcoco):
     from lavt_rs_tpu.data.loader import PrefetchLoader, collate_refer
 

@@ -83,6 +83,35 @@ def test_train_step_descends_and_freezes(train_setup):
     assert int(state.step) == 6
 
 
+def test_uint8_batch_matches_host_normalized(train_setup):
+    """The uint8 input pipeline (device-side ImageNet normalize in the
+    step) is equivalent to the classic host-normalized f32 pipeline.
+
+    Standalone, the device normalize is bit-identical to the host one
+    (test_data.py::test_uint8_pipeline_matches_host_normalize); inside the
+    fused step graph XLA may contract it into FMAs, so the inputs agree to
+    1 ulp (~7e-7 measured) and the training metrics to float32 rounding."""
+    from lavt_rs_tpu.data.transforms import normalize
+
+    cfg, model, variables, batch = train_setup
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=100, epochs=1, loss="dice")
+    step = None
+    results = []
+    for image, tgt_dtype in ((jnp.asarray(u8), jnp.uint8),
+                             (jnp.asarray(normalize(u8)), jnp.int32)):
+        state, tx = create_train_state(model, variables, tcfg)
+        if step is None:
+            step = make_train_step(model, tx, tcfg)
+        b = dict(batch, image=image,
+                 target=batch["target"].astype(tgt_dtype))
+        state, metrics = jax.jit(step)(state, b, jax.random.PRNGKey(3))
+        results.append((float(metrics["loss"]), float(metrics["iou"])))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    assert results[0][1] == pytest.approx(results[1][1], abs=1e-4)
+
+
 def test_poly_lr_schedule():
     from lavt_rs_tpu.train.optim import poly_schedule
 

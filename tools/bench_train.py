@@ -33,6 +33,10 @@ def main():
                         "pipeline (JPEG decode + resize + normalize via "
                         "PrefetchLoader), not just the device step")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--host_normalize", action="store_true",
+                   help="with --with_input: normalize on host (old f32 "
+                        "pipeline) instead of shipping uint8 and "
+                        "normalizing on device")
     args = p.parse_args()
 
     from lavt_rs_tpu.config import lavt_one_base
@@ -145,31 +149,53 @@ def main():
         ids_np = np.asarray(rng2.integers(1000, 20000, (20,)), np.int32)
         tgt = rng2.integers(0, 2, (480, 480)).astype(np.int32)
 
+        host_norm = args.host_normalize
+
+        from lavt_rs_tpu import native as lnative
+
+        print(f"native loader: {lnative.available()}", file=sys.stderr)
+
         class JpegDS:
+            use_native = True
+
             def __len__(self):
                 return 100000
 
             def __getitem__(self, i):
-                img = PILImage.open(io.BytesIO(jpeg)).convert("RGB")
-                im, _ = resize_pair(img, None, (480, 480))
-                return SimpleNamespace(image=normalize(np.asarray(im)),
-                                       target=tgt, ids=ids_np,
-                                       mask=np.ones(20, np.int32))
+                arr = (lnative.decode_resize_jpeg(jpeg, 480, 480)
+                       if self.use_native else None)
+                if arr is None:
+                    img = PILImage.open(io.BytesIO(jpeg)).convert("RGB")
+                    im, _ = resize_pair(img, None, (480, 480))
+                    arr = np.asarray(im)
+                return SimpleNamespace(
+                    image=normalize(arr) if host_norm else arr,
+                    target=tgt, ids=ids_np,
+                    mask=np.ones(20, np.int32))
 
-        loader = PrefetchLoader(JpegDS(), b, collate_refer, shuffle=False,
-                                num_workers=args.workers, prefetch=4,
-                                device_put=jax.device_put)
-        it = iter(loader)
-        # warm one batch through (decode threads spin up)
-        state, m = jstep(state, next(it), key)
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, m = jstep(state, next(it), key)
-        float(m["loss"])
-        dt_e2e = (time.perf_counter() - t0) / args.iters
-        print(f"train step WITH input: {dt_e2e * 1000:.1f} ms/step "
-              f"({b / dt_e2e:.2f} img/s) [workers={args.workers}]")
+        # A/B the decode paths in ONE process so relay/thermal drift
+        # cannot masquerade as a decode difference
+        for use_native in ((True, False) if lnative.available()
+                           else (False,)):
+            ds = JpegDS()
+            ds.use_native = use_native
+            loader = PrefetchLoader(ds, b, collate_refer, shuffle=False,
+                                    num_workers=args.workers, prefetch=4,
+                                    device_put=jax.device_put)
+            it = iter(loader)
+            # warm (decode threads spin up + possible dtype retrace)
+            for _ in range(2):
+                state, m = jstep(state, next(it), key)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, m = jstep(state, next(it), key)
+            float(m["loss"])
+            dt_e2e = (time.perf_counter() - t0) / args.iters
+            tag = "native" if use_native else "PIL"
+            print(f"train step WITH input ({tag} decode): "
+                  f"{dt_e2e * 1000:.1f} ms/step ({b / dt_e2e:.2f} img/s) "
+                  f"[workers={args.workers}]")
 
 
 if __name__ == "__main__":
