@@ -124,6 +124,36 @@ def test_backbone_only_imagenet_swin_merge(tmp_path):
         np.testing.assert_array_equal(_leaf(merged, p), _leaf(v0, p))
 
 
+def test_backbone_only_ape_conversion(tmp_path):
+    """APE checkpoints: torch stores absolute_pos_embed as (1, L, C); the
+    converter reshapes to NHWC (1, S, S, C) (reference
+    mmcv_custom/checkpoint.py:330-339) and the model bicubic-resizes it to
+    the current grid at apply time (round-1 verdict missing #8)."""
+    torch.manual_seed(0)
+    om = PlainSwinOracle()
+    sd = om.state_dict()
+    pre = 224 // 4  # pretraining grid (224, patch 4)
+    ape_t = torch.randn(1, pre * pre, 16)
+    sd["absolute_pos_embed"] = ape_t
+    path = tmp_path / "swin_ape.pth"
+    torch.save({"model": sd}, path)
+
+    cfg = _cfg("lavt_one")
+    cfg = cfg.replace(swin=dataclasses.replace(cfg.swin, ape=True))
+    model, v0 = _init_vars(cfg)
+    merged = apply_pretrained_flags(v0, cfg,
+                                    _args(pretrained_swin_weights=str(path)))
+    got = _leaf(merged, "params/backbone/absolute_pos_embed")
+    want = ape_t.numpy().reshape(1, pre, pre, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the merged tree still runs end-to-end (APE resized 56 -> 8 grid)
+    out = jax.jit(lambda v, *a: model.apply(
+        v, *a, deterministic=True, mutable=["batch_stats"]))(
+            jax.tree.map(jnp.asarray, merged), jnp.zeros((1, 32, 32, 3)),
+            jnp.ones((1, 6), jnp.int32), jnp.ones((1, 6), jnp.int32))[0]
+    assert out.shape == (1, 32, 32, 2)
+
+
 def test_backbone_only_rejects_garbage(tmp_path):
     """A checkpoint that matches nothing must raise, not silently no-op."""
     torch.manual_seed(0)
