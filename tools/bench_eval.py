@@ -2,10 +2,12 @@
 
 Synthetic RefCOCO-val-shaped dataset (1-3 sentences per ref, 480² images)
 through eval/refcoco_eval.evaluate — the reference test.py:53-109 protocol.
-Reports warm sent/s for refs_per_batch=1 vs the default multi-ref batching,
-with bf16 image transfer (lossless for a bf16 model).
+Reports warm sent/s for refs_per_batch=1 vs the default multi-ref batching.
+Default transfer mode is uint8 (the production pipeline: resized uint8
+images, normalized on device); --bf16_transfer / --f32_transfer measure
+the host-normalized float pipelines.
 
-Usage: python tools/bench_eval.py [--refs 60] [--f32_transfer]
+Usage: python tools/bench_eval.py [--refs 60] [--bf16_transfer|--f32_transfer]
 """
 
 import argparse
@@ -23,7 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--refs", type=int, default=60)
     ap.add_argument("--f32_transfer", action="store_true",
-                    help="ship images as f32 instead of bf16")
+                    help="host-normalized f32 image transfer")
+    ap.add_argument("--bf16_transfer", action="store_true",
+                    help="host-normalized bf16 image transfer")
     args = ap.parse_args()
 
     import jax
@@ -43,12 +47,16 @@ def main():
     jax.block_until_ready(variables)
     print(f"init {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
+    host_float = args.f32_transfer or args.bf16_transfer
+
     class DS:
         def __init__(self, n):
             cnt = rng.integers(1, 4, n)
             self.input_ids = [list(range(k)) for k in cnt]
             self.items = [SimpleNamespace(
-                image=rng.standard_normal((480, 480, 3)).astype(np.float32),
+                image=(rng.standard_normal((480, 480, 3)).astype(np.float32)
+                       if host_float else
+                       rng.integers(0, 256, (480, 480, 3)).astype(np.uint8)),
                 target=(rng.random((480, 480)) > 0.5).astype(np.int64),
                 ids=rng.integers(1, 30000, (k, 20)).astype(np.int64),
                 mask=np.ones((k, 20), np.int64)) for k in cnt]
@@ -62,7 +70,9 @@ def main():
     ds = DS(args.refs)
     nsent = sum(len(x) for x in ds.input_ids)
     apply = lambda v, *a: model.apply(v, *a)
-    dt = None if args.f32_transfer else jnp.bfloat16
+    dt = jnp.bfloat16 if args.bf16_transfer else None
+    mode = ("f32" if args.f32_transfer
+            else "bf16" if args.bf16_transfer else "uint8")
     for rb in (1, None):
         evaluate(apply, variables, ds, log_every=0, refs_per_batch=rb,
                  image_dtype=dt)  # compile + warm
@@ -71,8 +81,7 @@ def main():
                  image_dtype=dt)
         el = time.perf_counter() - t0
         print(f"refs_per_batch={rb}: {nsent / el:.1f} sent/s "
-              f"({el:.1f}s warm, transfer={'f32' if dt is None else 'bf16'})",
-              flush=True)
+              f"({el:.1f}s warm, transfer={mode})", flush=True)
 
 
 if __name__ == "__main__":
