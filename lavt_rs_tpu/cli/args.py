@@ -190,6 +190,12 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="random data smoke run (no dataset needed)")
     p.add_argument("--synthetic_steps", type=int, default=4)
+    p.add_argument("--jax_distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "TPU pods (the torch.distributed.launch "
+                        "equivalent; single-host runs don't need it). "
+                        "The data loader auto-shards by process either "
+                        "way (DistributedSampler equivalent).")
 
 
 def add_eval_args(p: argparse.ArgumentParser):

@@ -67,6 +67,14 @@ def synthetic_batches(args, steps, rng, video: bool = False,
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
+    if getattr(args, "jax_distributed", False):
+        # multi-host pods: one process per host, GSPMD over the global
+        # mesh (reference: torch.distributed.launch + NCCL init,
+        # utils.py:215-232)
+        import jax
+
+        jax.distributed.initialize()
+
     import jax
     import jax.numpy as jnp
 
@@ -189,7 +197,9 @@ def main(argv=None):
 
         loader = PrefetchLoader(train_ds, args.batch_size, collate_video,
                                 shuffle=True, num_workers=args.workers,
-                                seed=args.seed)
+                                seed=args.seed,
+                                shard_index=jax.process_index(),
+                                num_shards=jax.process_count())
         iters_per_epoch = len(loader)
 
         def epoch_batches(epoch):
@@ -232,7 +242,9 @@ def main(argv=None):
 
         loader = PrefetchLoader(train_ds, args.batch_size, collate_refer,
                                 shuffle=True, num_workers=args.workers,
-                                seed=args.seed)
+                                seed=args.seed,
+                                shard_index=jax.process_index(),
+                                num_shards=jax.process_count())
         iters_per_epoch = len(loader)
 
         def epoch_batches(epoch):

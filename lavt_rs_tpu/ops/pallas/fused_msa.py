@@ -322,6 +322,8 @@ def _pick_head_groups(nw: int, n: int, c: int, heads: int,
 
 def fused_msa_bwd_supported(nw: int, n: int, c: int, heads: int,
                             itemsize: int = 2) -> bool:
+    if not _sublane_ok(n, itemsize):  # same (chunk*n, c) collapse as fwd
+        return False
     return _pick_head_groups(nw, n, c, heads, itemsize) is not None
 
 
@@ -459,6 +461,16 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
     return (dx,) + tuple(dx_and_grads[1:])
 
 
+def _sublane_ok(n: int, itemsize: int) -> bool:
+    """The kernels collapse (chunk, n, c) -> (chunk*n, c); Mosaic only
+    supports that shape cast when the second-minor dim is a multiple of
+    the dtype's sublane pack (16 for bf16, 8 for f32).  Window-7 models
+    (Swin-T/S, n=49) fail this ('infer-vector-layout: unsupported shape
+    cast vector<9x49x96xbf16> -> vector<441x96xbf16>') and must take the
+    XLA / attention-core path; window-12 (n=144) passes."""
+    return n % (16 if itemsize == 2 else 8) == 0
+
+
 def fused_msa_supported(nw: int, n: int, c: int, heads: int,
                         itemsize: int = 2) -> bool:
     """Whether the fused forward fits VMEM for this window geometry, with
@@ -469,6 +481,8 @@ def fused_msa_supported(nw: int, n: int, c: int, heads: int,
     window (8, 12, 12) has n=1152 — its bias alone is 15.9 MB and even a
     1-head slice busts the chunk budget, so those configs fall back
     (measured OOM: 16.68M scoped at Swin-T video stage 1)."""
+    if not _sublane_ok(n, itemsize):
+        return False
     return _pick_fwd_groups(nw, n, c, heads, itemsize) is not None
 
 

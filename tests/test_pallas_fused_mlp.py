@@ -2,6 +2,24 @@
 SwinBlock tail path (same parameter tree both ways)."""
 
 import numpy as np
+
+
+def test_fused_msa_gate_rejects_sublane_incompatible_windows():
+    """Window-7 models (Swin-T/S, n=49) break Mosaic's (chunk, n, c) ->
+    (chunk*n, c) shape cast (sublane pack 16 for bf16 / 8 for f32); the
+    routing gates must send them down the attention-core/XLA path.
+    Reproduced on v5e: 'unsupported shape cast vector<9x49x96xbf16> ->
+    vector<441x96xbf16>' from the lavt_one --swin_type tiny train CLI."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (fused_msa_bwd_supported,
+                                                  fused_msa_supported)
+
+    assert not fused_msa_supported(64, 49, 96, 3)        # Swin-T stage 0
+    assert not fused_msa_bwd_supported(64, 49, 96, 3)
+    assert fused_msa_supported(100, 144, 128, 4)         # Swin-B window 12
+    assert fused_msa_bwd_supported(100, 144, 128, 4)
+    # f32 itemsize: sublane pack is 8 — n=49 still rejected, n=144 fine
+    assert not fused_msa_supported(64, 49, 96, 3, itemsize=4)
+    assert fused_msa_supported(100, 144, 128, 4, itemsize=4)
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
