@@ -127,7 +127,9 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="accepted for compatibility; DAVIS eval is not on "
                         "the reference's default path either")
     p.add_argument("--pseudo_video_aug", default="",
-                   help="augmentation recipe for image->clip pretraining")
+                   help="parsed-but-unused in the reference (args.py:132); "
+                        "accepted — pseudo-video augmentation is always on "
+                        "(data/pseudo_video.py ImageToSeqAugmenter)")
     p.add_argument("--ref_image_combined_pretrain", "--combined_pretrain",
                    dest="ref_image_combined_pretrain", action="store_true",
                    help="train on refcoco+refcoco+ +refcocog combined "
@@ -146,6 +148,9 @@ def add_data_args(p: argparse.ArgumentParser):
 
 def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--lr_upsample", type=float, default=3e-5,
+                   help="parsed-but-unused in the reference (args.py:87, "
+                        "no train.py consumer); accepted")
     p.add_argument("--wd", "--weight-decay", "--weight_decay",
                    dest="weight_decay", type=float, default=1e-2)
     p.add_argument("--amsgrad", action="store_true")
@@ -174,7 +179,11 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--pretrained_video_lavt_weights_on_refcocos", default="",
                    help="video LAVT ckpt from combined RefCOCO pretraining")
     p.add_argument("--ddp_trained_weights", action="store_true",
-                   help="strip the 'module.' DDP prefix when converting")
+                   help="accepted for compatibility; the converter strips "
+                        "the 'module.' DDP prefix unconditionally and the "
+                        "JAX BERT has no pooler to drop (the reference "
+                        "flag works around a transformers bug, "
+                        "test.py:284-286)")
     p.add_argument("--ckpt", action="store_true",
                    help="load checkpoints non-strictly")
     p.add_argument("--resume", default="")
@@ -216,7 +225,8 @@ def add_eval_args(p: argparse.ArgumentParser):
                    help="parsed-but-unused in the reference; accepted")
     p.add_argument("--test_fake_method", default="add_first",
                    help="parsed-but-unused in the reference; accepted")
-    p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="parsed-but-unused in the reference; accepted")
 
 
 def model_config_from_args(args):

@@ -88,10 +88,11 @@ def main(argv=None):
     else:
         from ..data.refer import REFER
         from ..data.refcoco import ReferDataset
-        from ..text.tokenizer import WordPieceTokenizer
+        from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
         refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
-        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        tok = WordPieceTokenizer.from_vocab_file(
+            resolve_vocab(args.vocab, args.bert_tokenizer))
         ds = ReferDataset(refer, tok, split=args.split,
                           img_size=args.img_size,
                           max_tokens=args.max_tokens, eval_mode=True,
@@ -296,14 +297,15 @@ def _eval_a2d(args, cfg, model):
         ds = FakeA2D()
     else:
         from ..data.a2d import A2DSentencesDataset
-        from ..text.tokenizer import WordPieceTokenizer
+        from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
-        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        tok = WordPieceTokenizer.from_vocab_file(
+            resolve_vocab(args.vocab, args.bert_tokenizer))
         ds = A2DSentencesDataset(
             args.a2d_data_root, args.a2d_ann, tok, subset=args.split,
             num_frames=args.num_frames, clip_length=args.clip_length,
             img_size=args.img_size, max_tokens=cfg.max_tokens,
-            host_normalize=False)
+            host_normalize=False, not_consecutive=args.not_consecutive)
         variables = _load_video_variables(args, cfg, model)
     summary = evaluate_a2d(lambda v, *a: model.apply(v, *a), variables, ds,
                            max_items=args.max_items or None)

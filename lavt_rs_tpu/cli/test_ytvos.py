@@ -79,7 +79,7 @@ def main(argv=None):
     from ..models.factory import build_model
     from ..ops.norm import maybe_normalize_image
     from ..ops.resize import resize_2d
-    from ..text.tokenizer import WordPieceTokenizer
+    from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
     videos = load_validation_videos(args.ytvos_data_root, args.split)
     names = sorted(videos.keys())
@@ -98,7 +98,8 @@ def main(argv=None):
     if not args.checkpoint and args.resume:
         args.checkpoint = args.resume
     model = build_model(cfg)
-    tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+    tok = WordPieceTokenizer.from_vocab_file(
+            resolve_vocab(args.vocab, args.bert_tokenizer))
 
     # image (2D) models run the reference's evaluate_single_frames path
     # (test_ytvos.py:288-482): every frame is an independent forward —

@@ -100,9 +100,10 @@ def main(argv=None):
                                      video=video,
                                      vocab_size=cfg.bert.vocab_size)
     elif video:
-        from ..text.tokenizer import WordPieceTokenizer
+        from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
-        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        tok = WordPieceTokenizer.from_vocab_file(
+            resolve_vocab(args.vocab, args.bert_tokenizer))
         if args.dataset == "a2d":
             from ..data.a2d import A2DSentencesDataset
 
@@ -181,7 +182,8 @@ def main(argv=None):
                 args.a2d_data_root, args.a2d_ann, tok, subset=args.val_split,
                 num_frames=args.num_frames, clip_length=args.clip_length,
                 img_size=args.img_size, max_tokens=args.max_tokens,
-                host_normalize=False)
+                host_normalize=False,
+                not_consecutive=args.not_consecutive)
         elif args.dataset == "ref_pseudo_video" or \
                 args.image_combined_3d_pretrain:
             # evaluate_ref_3d equivalent: RefCOCO val refs as static
@@ -208,10 +210,11 @@ def main(argv=None):
     else:
         from ..data.refer import REFER
         from ..data.refcoco import ReferDataset
-        from ..text.tokenizer import WordPieceTokenizer
+        from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
         refer = REFER(args.refer_data_root, args.dataset, args.splitBy)
-        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+        tok = WordPieceTokenizer.from_vocab_file(
+            resolve_vocab(args.vocab, args.bert_tokenizer))
         if args.ref_image_combined_pretrain:
             # reference: the 3 RefCOCO-family datasets concatenated, 22
             # tokens (data/dataset_refer_bert.py:39-42)
@@ -389,6 +392,10 @@ def main(argv=None):
                       file=sys.stderr)
             else:
                 best_metric = max(best_metric, train_miou)
+                # --model_id goes into the checkpoint name like the
+                # reference's model_best_{model_id}.pth (train.py:761-807)
+                if args.model_id:
+                    tag = f"{args.model_id}_{tag}" if tag else args.model_id
                 save_checkpoint(args.output_dir, epoch, state,
                                 extra={"args": vars(args)}, metrics_tag=tag,
                                 keep=keep or None)

@@ -75,8 +75,12 @@ class A2DSentencesDataset:
                  tokenizer: WordPieceTokenizer, subset: str = "train",
                  num_frames: int = 8, clip_length: int = 16,
                  img_size: int = 480, max_tokens: int = 22, seed: int = 0,
-                 host_normalize: bool = True):
+                 host_normalize: bool = True, not_consecutive: bool = False):
         self.host_normalize = host_normalize
+        # --not_consecutive: eval clips are sparse-sampled like training
+        # (clip_length frames) instead of a consecutive edge-padded window
+        # (reference a2d.py:108-135).
+        self.not_consecutive = not_consecutive
         self.videos_dir = os.path.join(root, "Release", "clips320H")
         self.masks_dir = os.path.join(
             root, "Release", "a2d_annotation_with_instances")
@@ -116,6 +120,9 @@ class A2DSentencesDataset:
             if self.subset == "train":
                 indices, valid_index = sparse_sample(
                     frame_id, vid_len, self.num_frames, self.rng)
+            elif self.not_consecutive:
+                indices, valid_index = sparse_sample(
+                    frame_id, vid_len, self.clip_length, self.rng)
             else:
                 indices, valid_index = consecutive_window(
                     frame_id, vid_len, self.clip_length)

@@ -13,10 +13,32 @@ The LAVT encoding contract (reference data/dataset_refer_bert.py:64-76):
 
 from __future__ import annotations
 
+import os
 import unicodedata
 from typing import Dict, List, Tuple
 
 import numpy as np
+
+
+def resolve_vocab(vocab_path: str, tokenizer_id: str = "") -> str:
+    """Locate the WordPiece vocab file for the CLI flags.
+
+    `--vocab` wins when the file exists; otherwise `--bert_tokenizer` may
+    name a vocab.txt directly or a local HF tokenizer directory containing
+    one (the reference passes that flag to BertTokenizer.from_pretrained,
+    e.g. data/a2d.py:48, test_ytvos.py:170)."""
+    if vocab_path and os.path.isfile(vocab_path):
+        return vocab_path
+    if tokenizer_id:
+        if os.path.isfile(tokenizer_id):
+            return tokenizer_id
+        cand = os.path.join(tokenizer_id, "vocab.txt")
+        if os.path.isfile(cand):
+            return cand
+    raise FileNotFoundError(
+        f"no tokenizer vocab found: --vocab {vocab_path!r} does not exist "
+        f"and --bert_tokenizer {tokenizer_id!r} is not a local vocab.txt "
+        "or a directory containing one")
 
 
 def _is_whitespace(ch: str) -> bool:

@@ -61,3 +61,20 @@ def test_encode_padded_truncation(tok):
     # tokens are added, so [SEP] may be cut — mirror that)
     assert ids[0] == tok.cls_id
     assert ids[-1] != tok.sep_id
+
+
+def test_resolve_vocab_fallbacks(tmp_path):
+    """--vocab wins when present; --bert_tokenizer may name a vocab.txt or
+    a directory containing one (the reference passes it to
+    BertTokenizer.from_pretrained, data/a2d.py:48)."""
+    from lavt_rs_tpu.text.tokenizer import resolve_vocab
+
+    v = tmp_path / "vocab.txt"
+    v.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n")
+    assert resolve_vocab(str(v), "bert-base-uncased") == str(v)
+    # fallback: --bert_tokenizer as a direct file
+    assert resolve_vocab(str(tmp_path / "missing.txt"), str(v)) == str(v)
+    # fallback: --bert_tokenizer as a tokenizer directory
+    assert resolve_vocab("", str(tmp_path)) == str(v)
+    with pytest.raises(FileNotFoundError):
+        resolve_vocab(str(tmp_path / "missing.txt"), "bert-base-uncased")

@@ -213,3 +213,18 @@ def test_refexp_pseudo_videos(tmp_path, tok):
     assert 0 <= ex.valid_index < 3 and ex.valid == 1
     assert ex.ids.shape == (8,) and ex.ids[0] == tok.cls_id
     assert ex.image_id == "refexp_1"
+
+
+def test_a2d_not_consecutive_val_sampling(a2d_fixture, tok):
+    """--not_consecutive: eval clips are sparse-sampled like training
+    (reference a2d.py:108-135) instead of a consecutive window."""
+    from lavt_rs_tpu.data.a2d import A2DSentencesDataset
+
+    root, ann = a2d_fixture
+    ds = A2DSentencesDataset(root, ann, tok, subset="val", clip_length=6,
+                             img_size=32, not_consecutive=True)
+    ex = ds[0]
+    assert ex.video.shape == (6, 32, 32, 3)
+    assert ex.valid == 1
+    # the annotated frame must still sit at valid_index
+    assert 0 <= ex.valid_index < 6
