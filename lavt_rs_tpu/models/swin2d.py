@@ -150,8 +150,15 @@ class WindowAttention(nn.Module):
         # fall back to the attention-only kernel / XLA.
         from ..ops.pallas.fused_msa import fused_msa_supported
 
+        # Window-7 (n=49) COULD run fused via the sublane-padded wrapper
+        # (fused_window_msa_padded, pad n->64), but measured on v5e it
+        # loses to XLA at every Swin-T/S 2D stage in both directions
+        # (tools/bench_msa_padded.py, bs 8: fwd 0.80/0.09/0.44/0.28x,
+        # fwd+bwd 0.69/0.95/1.17/0.12x) — these windows are tiny enough
+        # that XLA is already near-peak, so the padded path stays unrouted.
         fused_ok = (self.use_pallas
-                    and fused_msa_supported(nw, n, c, h))
+                    and fused_msa_supported(nw, n, c, h,
+                                            jnp.dtype(self.dtype).itemsize))
         if fused_ok:
             from ..ops.pallas.fused_msa import fused_window_msa
 

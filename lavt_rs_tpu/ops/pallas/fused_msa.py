@@ -486,6 +486,59 @@ def fused_msa_supported(nw: int, n: int, c: int, heads: int,
     return _pick_fwd_groups(nw, n, c, heads, itemsize) is not None
 
 
+def _sublane_pad(n: int, itemsize: int) -> int:
+    pack = 16 if itemsize == 2 else 8
+    return -(-n // pack) * pack
+
+
+def fused_msa_padded_supported(nw: int, n: int, c: int, heads: int,
+                               itemsize: int = 2) -> bool:
+    """Whether the sublane-padded wrapper applies: n itself fails the
+    (chunk, n, c)->(chunk*n, c) collapse (e.g. window-7 models, n=49)
+    but the padded n does fit the kernels' VMEM gate."""
+    n_p = _sublane_pad(n, itemsize)
+    if n_p == n:
+        return False  # use the unpadded kernel
+    return _pick_fwd_groups(nw, n_p, c, heads, itemsize) is not None
+
+
+def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,
+                            heads: int, scale: float):
+    """fused_window_msa for sublane-misaligned window sizes.
+
+    Window-7 geometries (Swin-T/S 2D, n=49; video (8,7,7), n=392) fail
+    Mosaic's in-kernel (chunk, n, c) -> (chunk*n, c) collapse (see
+    _sublane_ok), so tokens are zero-padded to the next sublane multiple
+    and padded KEYS are masked with -1e9 folded into the bias (their
+    softmax weight underflows to exactly 0 in f32).  Padded QUERY rows
+    compute garbage that the final slice discards; under jax.grad the
+    pad/slice transposes zero their cotangents, so all weight/bias grads
+    are exact (the custom VJP runs entirely at the padded n).
+
+    STATUS: parity-tested but NOT routed by the model — measured on v5e
+    (tools/bench_msa_padded.py) it loses to XLA at every Swin-T/S 2D
+    window-7 stage (fwd 0.80/0.09/0.44/0.28x, fwd+bwd
+    0.69/0.95/1.17/0.12x vs XLA at bs 8): n=49 windows are small enough
+    that XLA's GEMMs+einsum are already near-peak while the padding adds
+    (n_p/n)² = 1.7x attention FLOPs.  Kept for geometries where the
+    unpadded kernel's measured win would survive the padding tax (none
+    shipped today)."""
+    b, nw, n, c = x.shape
+    n_p = _sublane_pad(n, jnp.dtype(x.dtype).itemsize)
+    p = n_p - n
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (0, p), (0, 0)))
+    bias_p = jnp.pad(bias, ((0, 0), (0, p), (0, p)))
+    # mask padded keys out for every (real or padded) query row
+    bias_p = jnp.concatenate(
+        [bias_p[:, :, :n],
+         jnp.full((heads, n_p, p), -1e9, bias_p.dtype)], axis=2)
+    mask_p = None if mask is None else jnp.pad(
+        mask, ((0, 0), (0, p), (0, p)))
+    y = fused_window_msa(x_p, wqkv, bqkv, wproj, bproj, bias_p, mask_p,
+                         heads, scale)
+    return y[:, :, :n, :]
+
+
 def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                 cq: Optional[int] = None) -> int:
     """Largest divisor of nw whose per-step VMEM footprint stays under a

@@ -387,3 +387,64 @@ def test_fused_msa_fwd_and_grads_fat_gemm_path(rng):
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_msa_padded_matches_ref(rng):
+    """Window-7 geometry (n=49, sublane-misaligned): the pad-to-64 wrapper
+    must match the unpadded XLA reference bit-for-tolerance, masked and
+    unmasked."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (_ref_forward,
+                                                  fused_msa_padded_supported,
+                                                  fused_window_msa_padded)
+
+    b, nw, n, c, h = 1, 4, 49, 32, 4
+    assert fused_msa_padded_supported(nw, n, c, h, itemsize=4)
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.7, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    for m in (mask, None):
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias,
+                                          m, h, scale)
+        want = _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, m, h, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_padded_grads(rng):
+    """Grads through the padded wrapper: the pad/slice transposes must
+    zero padded-row cotangents so weight/bias/x grads are exact."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (_ref_forward,
+                                                  fused_window_msa_padded)
+
+    b, nw, n, c, h = 1, 2, 13, 16, 2  # n=13 pads to 16 at f32
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.2)
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.2)
+    bproj = jnp.zeros((c,))
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def loss_p(x, wqkv, wproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj,
+                                            bias, None, h, scale) ** 2).sum()
+
+    def loss_r(x, wqkv, wproj, bias):
+        return (_ref_forward(x, wqkv, bqkv, wproj, bproj, bias, None, h,
+                             scale) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
