@@ -148,17 +148,16 @@ class WindowAttention(nn.Module):
         # resident in VMEM; wide stages split heads into groups
         # (fused_msa._pick_fwd_groups) and huge windows (video n=1152)
         # fall back to the attention-only kernel / XLA.
-        from ..ops.pallas.fused_msa import fused_msa_supported
+        from ..ops.pallas.fused_msa import fused_msa_routed
 
-        # Window-7 (n=49) COULD run fused via the sublane-padded wrapper
-        # (fused_window_msa_padded, pad n->64), but measured on v5e it
-        # loses to XLA at every Swin-T/S 2D stage in both directions
-        # (tools/bench_msa_padded.py, bs 8: fwd 0.80/0.09/0.44/0.28x,
-        # fwd+bwd 0.69/0.95/1.17/0.12x) — these windows are tiny enough
-        # that XLA is already near-peak, so the padded path stays unrouted.
+        # Window-7 (n=49) COULD run fused (chunk-of-1 grid, or the
+        # sublane-padded wrapper) but measured on v5e both lose to XLA at
+        # every Swin-T/S 2D stage (tools/bench_msa_chunk1.py) — these
+        # windows are tiny enough that XLA is already near-peak.  The
+        # routing policy lives in fused_msa_routed.
         fused_ok = (self.use_pallas
-                    and fused_msa_supported(nw, n, c, h,
-                                            jnp.dtype(self.dtype).itemsize))
+                    and fused_msa_routed(nw, n, c, h,
+                                         jnp.dtype(self.dtype).itemsize))
         if fused_ok:
             from ..ops.pallas.fused_msa import fused_window_msa
 

@@ -273,7 +273,7 @@ def _pick_chunk_bwd(nw: int, n: int, c: int, cq: int, heads: int,
              + 2 * heads * n * n * 4)           # bias + dbias
     best = 0
     for ch in range(1, nw + 1):
-        if nw % ch:
+        if nw % ch or not _chunk_ok(ch, n, itemsize):
             continue
         buf = (ch * n * c * itemsize * 2     # x + dx blocks
                + ch * n * c * 4              # gy f32
@@ -322,8 +322,9 @@ def _pick_head_groups(nw: int, n: int, c: int, heads: int,
 
 def fused_msa_bwd_supported(nw: int, n: int, c: int, heads: int,
                             itemsize: int = 2) -> bool:
-    if not _sublane_ok(n, itemsize):  # same (chunk*n, c) collapse as fwd
-        return False
+    """True iff some head-group/chunk combination both fits VMEM and
+    passes Mosaic's collapse constraint (_chunk_ok — sublane-misaligned n
+    is fine at chunk 1, where the collapse is a unit-dim squeeze)."""
     return _pick_head_groups(nw, n, c, heads, itemsize) is not None
 
 
@@ -462,28 +463,51 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
 
 
 def _sublane_ok(n: int, itemsize: int) -> bool:
-    """The kernels collapse (chunk, n, c) -> (chunk*n, c); Mosaic only
-    supports that shape cast when the second-minor dim is a multiple of
-    the dtype's sublane pack (16 for bf16, 8 for f32).  Window-7 models
-    (Swin-T/S, n=49) fail this ('infer-vector-layout: unsupported shape
-    cast vector<9x49x96xbf16> -> vector<441x96xbf16>') and must take the
-    XLA / attention-core path; window-12 (n=144) passes."""
+    """Whether MULTI-window chunks may collapse (chunk, n, c) ->
+    (chunk*n, c); Mosaic only supports that shape cast when the
+    second-minor dim is a multiple of the dtype's sublane pack (16 for
+    bf16, 8 for f32).  Window-7 models (Swin-T/S, n=49; video (8,7,7),
+    n=392) fail this ('infer-vector-layout: unsupported shape cast
+    vector<9x49x96xbf16> -> vector<441x96xbf16>'); window-12 (n=144)
+    passes.  At chunk == 1 the collapse is a leading-unit-dim squeeze,
+    which Mosaic always supports — see _chunk_ok."""
     return n % (16 if itemsize == 2 else 8) == 0
+
+
+def _chunk_ok(ch: int, n: int, itemsize: int) -> bool:
+    """Mosaic-collapse validity of a window-chunk size (see _sublane_ok)."""
+    return ch == 1 or _sublane_ok(n, itemsize)
 
 
 def fused_msa_supported(nw: int, n: int, c: int, heads: int,
                         itemsize: int = 2) -> bool:
-    """Whether the fused forward fits VMEM for this window geometry, with
-    head-group splitting for wide stages (see _pick_fwd_groups).
+    """Whether the fused forward COMPILES for this window geometry (fits
+    VMEM, with head-group splitting for wide stages — _pick_fwd_groups;
+    sublane-misaligned n runs at chunk 1, see _chunk_ok).
 
     Per call, the group's weights, its f32 bias slice, and one chunk's
     buffers must fit ~12 MB of the 16 MB scoped budget.  Video Swin with
     window (8, 12, 12) has n=1152 — its bias alone is 15.9 MB and even a
     1-head slice busts the chunk budget, so those configs fall back
-    (measured OOM: 16.68M scoped at Swin-T video stage 1)."""
-    if not _sublane_ok(n, itemsize):
-        return False
+    (measured OOM: 16.68M scoped at Swin-T video stage 1).
+
+    This is capability, not policy — models route via fused_msa_routed."""
     return _pick_fwd_groups(nw, n, c, heads, itemsize) is not None
+
+
+def fused_msa_routed(nw: int, n: int, c: int, heads: int,
+                     itemsize: int = 2) -> bool:
+    """Measured routing policy for the fused MSA kernel (v5e).
+
+    Route only geometries with sublane-aligned n (window-12 2D: n=144),
+    where multi-window chunks amortize the per-grid-step cost and the
+    fused path measured a clear win (README perf table).  Misaligned n
+    (window-7 2D n=49, video (8,7,7) n=392) is forced to chunk-of-1
+    grids, which measured SLOWER than the XLA / attention-core path
+    (tools/bench_msa_chunk1.py, v5e: n=49 fwd 0.2-0.5x XLA, n=392
+    fwd+bwd ~0.8x), so those stay unrouted even though they compile."""
+    return _sublane_ok(n, itemsize) and fused_msa_supported(
+        nw, n, c, heads, itemsize)
 
 
 def _sublane_pad(n: int, itemsize: int) -> int:
@@ -553,7 +577,7 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
     cq = c if cq is None else cq
     best = 1
     for ch in range(1, nw + 1):
-        if nw % ch:
+        if nw % ch or not _chunk_ok(ch, n, itemsize):
             continue
         buf = (ch * n * c * itemsize          # x block
                + 3 * ch * n * cq * 4          # q f32 + k/v (pre-cast peak)

@@ -45,10 +45,21 @@ except ImportError:  # pragma: no cover - older jax
                               out_specs=out_specs)
 
 
+if hasattr(jax.lax, "pcast"):  # jax >= 0.9: pvary is deprecated
+
+    def _pvary(x, axes):
+        return jax.lax.pcast(x, axes, to="varying")
+else:  # pragma: no cover - older jax
+    _pvary = jax.lax.pvary
+
+
 def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
     import numpy as np
 
     devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_stages:
+        raise ValueError(
+            f"pipeline needs {n_stages} devices, got {len(devices)}")
     return Mesh(np.asarray(devices[:n_stages]), ("stage",))
 
 
@@ -95,8 +106,8 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray, Any], jnp.ndarray],
         s = jax.lax.axis_index(axis)
         # the loop carry becomes stage-varying after one tick; mark the
         # initial zeros as varying so the fori_loop carry types match
-        state = jax.lax.pvary(jnp.zeros_like(xs[0]), (axis,))
-        ys = jax.lax.pvary(jnp.zeros_like(xs), (axis,))
+        state = _pvary(jnp.zeros_like(xs[0]), (axis,))
+        ys = _pvary(jnp.zeros_like(xs), (axis,))
 
         def stage(h, extra_mb):
             def body(h, p):

@@ -4,22 +4,36 @@ SwinBlock tail path (same parameter tree both ways)."""
 import numpy as np
 
 
-def test_fused_msa_gate_rejects_sublane_incompatible_windows():
+def test_fused_msa_gates_sublane_misaligned_windows():
     """Window-7 models (Swin-T/S, n=49) break Mosaic's (chunk, n, c) ->
-    (chunk*n, c) shape cast (sublane pack 16 for bf16 / 8 for f32); the
-    routing gates must send them down the attention-core/XLA path.
-    Reproduced on v5e: 'unsupported shape cast vector<9x49x96xbf16> ->
-    vector<441x96xbf16>' from the lavt_one --swin_type tiny train CLI."""
-    from lavt_rs_tpu.ops.pallas.fused_msa import (fused_msa_bwd_supported,
+    (chunk*n, c) shape cast for chunk > 1 (sublane pack 16 for bf16 /
+    8 for f32; reproduced on v5e: 'unsupported shape cast
+    vector<9x49x96xbf16> -> vector<441x96xbf16>').  A chunk-of-1 grid is
+    always valid (the collapse is a unit-dim squeeze), so these
+    geometries remain SUPPORTED (chunk forced to 1) but UNROUTED — they
+    measured slower than XLA (tools/bench_msa_chunk1.py), so the model
+    routing policy (fused_msa_routed) sends them down the
+    attention-core/XLA path."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (_pick_chunk,
+                                                  _pick_head_groups,
+                                                  fused_msa_bwd_supported,
+                                                  fused_msa_routed,
                                                   fused_msa_supported)
 
-    assert not fused_msa_supported(64, 49, 96, 3)        # Swin-T stage 0
-    assert not fused_msa_bwd_supported(64, 49, 96, 3)
-    assert fused_msa_supported(100, 144, 128, 4)         # Swin-B window 12
+    # n=49: compiles at chunk 1 but is not routed
+    assert fused_msa_supported(64, 49, 96, 3)            # Swin-T stage 0
+    assert _pick_chunk(64, 49, 96, 3, 2) == 1            # chunk forced to 1
+    assert fused_msa_bwd_supported(64, 49, 96, 3)
+    assert _pick_head_groups(64, 49, 96, 3, 2)[1] == 1
+    assert not fused_msa_routed(64, 49, 96, 3)
+    assert not fused_msa_routed(64, 49, 96, 3, itemsize=4)
+    # Swin-B window 12 (n=144, sublane-aligned): supported AND routed,
+    # with multi-window chunks
+    assert fused_msa_supported(100, 144, 128, 4)
     assert fused_msa_bwd_supported(100, 144, 128, 4)
-    # f32 itemsize: sublane pack is 8 — n=49 still rejected, n=144 fine
-    assert not fused_msa_supported(64, 49, 96, 3, itemsize=4)
-    assert fused_msa_supported(100, 144, 128, 4, itemsize=4)
+    assert fused_msa_routed(100, 144, 128, 4)
+    assert _pick_chunk(100, 144, 128, 4, 2) > 1
+    assert fused_msa_routed(100, 144, 128, 4, itemsize=4)
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
