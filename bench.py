@@ -60,6 +60,20 @@ def get_cpu_baseline() -> float:
 
 def main():
     import jax
+
+    # Persistent compile cache: first-compile of the 480px Swin-B forward
+    # is 20-60s (and BENCH_r02 recorded one unexplained 464s outlier);
+    # with the cache, repeat bench runs skip compilation entirely. TPU
+    # executables are tens of MB, so this dir is gitignored (unlike the
+    # committed CPU-dryrun cache .jax_cache/).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as e:
+        log(f"compile cache unavailable: {e!r}")
     import jax.numpy as jnp
     import numpy as np
 

@@ -249,8 +249,14 @@ def model_config_from_args(args):
     # Pallas kernels compile only on real TPUs; CPU (tests / dry runs)
     # falls back to the XLA paths automatically.
     use_pallas = (not args.no_pallas) and jax.default_backend() == "tpu"
+    # The reference flips to window-12 when 'window12' appears in the
+    # pretrained checkpoint FILENAME, independent of the --window12 flag
+    # (lib/segmentation.py:35-39) — commands relying on that sniff must
+    # not silently build window-7 here.
+    window12 = args.window12 or \
+        "window12" in (getattr(args, "pretrained_swin_weights", "") or "")
     cfg = make_config(
-        args.model, swin_type=args.swin_type, window12=args.window12,
+        args.model, swin_type=args.swin_type, window12=window12,
         img_size=args.img_size, max_tokens=max_tokens,
         use_checkpoint=args.use_checkpoint,
         dtype="bfloat16" if args.bf16 else "float32",

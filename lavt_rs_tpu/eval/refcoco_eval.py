@@ -11,16 +11,24 @@ TPU-native twists over the reference's per-sentence python loop:
     count caused a compile per distinct S and batch-1-style utilization);
   * multiple refs are BATCHED per forward (refs_per_batch, default sized
     so the device batch is ~8 — the measured single-chip throughput knee),
-    with the final partial batch padded by repeating the last ref;
+  * the loop is PIPELINED: a producer thread prepares batches (dataset
+    decode + padding) while up to `pipeline_depth` dispatches stay in
+    flight on the device, so host prep / host->device transfer / compute
+    overlap instead of strictly alternating (the loop is transfer-bound on
+    a remote-attached TPU; the sequential form measured 47 sent/s vs the
+    34.8 ms/batch device rate);
   * the jitted forward is cached per model_apply object, so per-epoch eval
     during training does not recompile.
 """
 
 from __future__ import annotations
 
+import queue
 import sys
+import threading
 import time
 import weakref
+from collections import deque
 from typing import Callable, Optional
 
 import numpy as np
@@ -69,12 +77,16 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
              log_every: int = 100, max_items: Optional[int] = None,
              pad_sentences: Optional[int] = None,
              refs_per_batch: Optional[int] = None,
-             image_dtype=None, out_stream=None) -> dict:
+             image_dtype=None, out_stream=None,
+             pipeline_depth: int = 2) -> dict:
     """model_apply(variables, image, ids, mask) -> NHWC logits.
 
     image_dtype: ship images to the device in this dtype (pass bfloat16
     for a bf16 model — its first op casts anyway, so this is lossless and
-    halves the dominant host->device transfer on remote-attached TPUs)."""
+    halves the dominant host->device transfer on remote-attached TPUs).
+
+    pipeline_depth: number of dispatched batches kept in flight before
+    blocking on the oldest result (1 = the old strictly-sequential loop)."""
     if out_stream is None:  # resolve at call time, not import time
         out_stream = sys.stderr
     metrics = SegMetrics()
@@ -88,39 +100,78 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
     n = len(ds) if max_items is None else min(len(ds), max_items)
     sp0 = max(smax or 1, 1)
     rb = refs_per_batch or max(1, -(-8 // sp0))  # device batch ~>= 8
-    t0 = time.time()
-    buf = []
-    for i in range(n):
-        buf.append(ds[i])
-        if len(buf) < rb and i + 1 < n:
-            continue
-        real = len(buf)
-        buf.extend([buf[-1]] * (rb - real))  # pad final batch, ignored below
-        sp = max([sp0] + [ex.ids.shape[0] for ex in buf])
-        ids = np.zeros((rb, sp) + buf[0].ids.shape[1:], np.int32)
-        mask = np.zeros((rb, sp) + buf[0].mask.shape[1:], np.int32)
-        for j, ex in enumerate(buf):
-            ids[j, :ex.ids.shape[0]] = ex.ids
-            mask[j, :ex.mask.shape[0]] = ex.mask
-        image = np.stack([ex.image for ex in buf])
-        if image_dtype is not None and image.dtype != np.uint8:
-            # uint8 images ship as-is (already the smallest transfer);
-            # the bf16 cast only applies to host-normalized floats
-            image = image.astype(image_dtype)
-        image = jnp.asarray(image)
-        target = jnp.asarray(np.stack([ex.target for ex in buf])
-                             .astype(np.uint8))  # 4x less transfer
-        inter, union = fwd_iou(variables, image, jnp.asarray(ids),
-                               jnp.asarray(mask), target)
-        inter, union = np.asarray(inter), np.asarray(union)
-        for j, ex in enumerate(buf[:real]):
-            s = ex.ids.shape[0]
-            metrics.update(inter[j, :s], union[j, :s])
+
+    def host_batches():
+        """Prepared numpy batches: (last_index, sent_counts, arrays...)."""
         buf = []
-        if log_every and (i + 1) % log_every < rb:
+        for i in range(n):
+            buf.append(ds[i])
+            if len(buf) < rb and i + 1 < n:
+                continue
+            real = len(buf)
+            buf.extend([buf[-1]] * (rb - real))  # pad final batch
+            sp = max([sp0] + [ex.ids.shape[0] for ex in buf])
+            ids = np.zeros((rb, sp) + buf[0].ids.shape[1:], np.int32)
+            mask = np.zeros((rb, sp) + buf[0].mask.shape[1:], np.int32)
+            for j, ex in enumerate(buf):
+                ids[j, :ex.ids.shape[0]] = ex.ids
+                mask[j, :ex.mask.shape[0]] = ex.mask
+            image = np.stack([ex.image for ex in buf])
+            if image_dtype is not None and image.dtype != np.uint8:
+                # uint8 images ship as-is (already the smallest transfer);
+                # the bf16 cast only applies to host-normalized floats
+                image = image.astype(image_dtype)
+            target = (np.stack([ex.target for ex in buf])
+                      .astype(np.uint8))  # 4x less transfer
+            scounts = [ex.ids.shape[0] for ex in buf[:real]]
+            yield i, scounts, image, ids, mask, target
+            buf = []
+
+    # Producer thread: dataset decode + batch assembly overlaps device
+    # compute.  Queue depth bounds host memory (each slot ~ rb 480² images).
+    q: "queue.Queue" = queue.Queue(maxsize=max(pipeline_depth, 1))
+
+    def produce():
+        try:
+            for b in host_batches():
+                q.put(b)
+            q.put(None)
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+
+    t0 = time.time()
+    inflight: "deque" = deque()
+    next_log = log_every
+
+    def drain_one():
+        nonlocal next_log
+        i, scounts, inter_d, union_d = inflight.popleft()
+        inter, union = np.asarray(inter_d), np.asarray(union_d)
+        for j, s in enumerate(scounts):
+            metrics.update(inter[j, :s], union[j, :s])
+        if log_every and i + 1 >= next_log:
+            next_log += log_every
             el = time.time() - t0
             print(f"eval [{i + 1}/{n}] {el:.1f}s "
                   f"({metrics.n / el:.2f} sent/s)", file=out_stream)
+
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        if isinstance(b, BaseException):
+            raise b
+        i, scounts, image, ids, mask, target = b
+        inter_d, union_d = fwd_iou(
+            variables, jnp.asarray(image), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(target))
+        inflight.append((i, scounts, inter_d, union_d))
+        if len(inflight) >= max(pipeline_depth, 1):
+            drain_one()
+    while inflight:
+        drain_one()
 
     summary = metrics.summary()
     prec = " ".join(f"P@{t}={summary[f'P@{t}']:.2f}"

@@ -168,3 +168,33 @@ def test_convert_lavt_two_roundtrip():
     out = model.apply(variables, img, ids, msk)
     assert out.shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_window12_sniffed_from_pretrained_filename():
+    """Reference flips to window-12 when 'window12' is in the checkpoint
+    filename, without --window12 (lib/segmentation.py:35-39)."""
+    import argparse
+
+    from lavt_rs_tpu.cli.args import (add_data_args, add_eval_args,
+                                      add_model_args, add_train_args,
+                                      model_config_from_args)
+
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_data_args(p)
+    add_train_args(p)
+    add_eval_args(p)
+
+    base = ["--model", "lavt_one", "--swin_type", "base"]
+    a = p.parse_args(base + [
+        "--pretrained_swin_weights",
+        "pretrained/swin_base_patch4_window12_384_22k.pth"])
+    assert model_config_from_args(a).swin.window_size == 12
+
+    a = p.parse_args(base + [
+        "--pretrained_swin_weights",
+        "pretrained/swin_base_patch4_window7_224_22k.pth"])
+    assert model_config_from_args(a).swin.window_size == 7
+
+    a = p.parse_args(base + ["--window12"])
+    assert model_config_from_args(a).swin.window_size == 12

@@ -187,3 +187,127 @@ def test_language_gate_zero_init_is_identity(rng):
     x = jnp.ones((2, 5, 8))
     np.testing.assert_array_equal(
         np.asarray(apply_gate(x, mm, g, GateKind.DEFAULT)), np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# Fusion baselines: BCAM / GACD / EFN golden parity (reference lib/bcam.py)
+# ---------------------------------------------------------------------------
+
+def _lin_p(sd, tname):
+    return {"kernel": cv._lin(sd[f"{tname}.weight"]),
+            "bias": sd[f"{tname}.bias"]}
+
+
+def test_bcam_parity(rng):
+    from lavt_rs_tpu.models.fusion_baselines import BCAM
+
+    torch.manual_seed(10)
+    dim, l_in, B, HW, NL = 32, 48, 2, 36, 7
+    om = oracle.BCAMOracle(dim, dim, l_in, HW)
+    om.eval()
+
+    x = rng.standard_normal((B, HW, dim)).astype(np.float32)
+    l = rng.standard_normal((B, NL, l_in)).astype(np.float32)
+    mask = (rng.random((B, NL)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+
+    with torch.no_grad():
+        want = _np(om(torch.from_numpy(x),
+                      torch.from_numpy(l.transpose(0, 2, 1)),
+                      torch.from_numpy(mask[:, :, None])))
+
+    sd = {k: _np(v) for k, v in om.state_dict().items()}
+    params = {"lang_reduce": _lin_p(sd, "lang_reduce"),
+              "out_1": _lin_p(sd, "out_1"),
+              "vis_2_2": _lin_p(sd, "vis_2_2"),
+              "a_proj": _lin_p(sd, "a_proj"),
+              "out3_proj": _lin_p(sd, "out3_proj.0")}
+    for i in (1, 2, 3, 4):
+        params[f"vis_{i}"] = _lin_p(sd, f"vis_{i}.0")
+
+    m = BCAM(dim=dim, hw=HW)
+    got = np.asarray(m.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(l), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gacd_parity(rng):
+    from lavt_rs_tpu.models.fusion_baselines import GACD
+
+    torch.manual_seed(11)
+    dim, l_in, B, HW, NL = 16, 24, 2, 25, 5
+    om = oracle.GACDOracle(dim, dim, l_in)
+    om.eval()
+
+    x = rng.standard_normal((B, HW, dim)).astype(np.float32)
+    l = rng.standard_normal((B, NL, l_in)).astype(np.float32)
+    mask = np.ones((B, NL), np.float32)
+    mask[0, 3:] = 0.0
+
+    with torch.no_grad():
+        want = _np(om(torch.from_numpy(x),
+                      torch.from_numpy(l.transpose(0, 2, 1)),
+                      torch.from_numpy(mask[:, :, None])))
+
+    sd = {k: _np(v) for k, v in om.state_dict().items()}
+    params = {"lang_gen_fc1": _lin_p(sd, "lang_gen.0"),
+              "lang_gen_fc2": _lin_p(sd, "lang_gen.2"),
+              "mm_gen": _lin_p(sd, "mm_gen.0"),
+              "query": _lin_p(sd, "query"),
+              "key_c": _lin_p(sd, "key_c"),
+              "key_d": _lin_p(sd, "key_d"),
+              "value": _lin_p(sd, "value")}
+
+    m = GACD(dim=dim)
+    got = np.asarray(m.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(l), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _efn_params(sd):
+    def conv3(tname):
+        return {"kernel": sd[f"{tname}.weight"].transpose(2, 1, 0),
+                "bias": sd[f"{tname}.bias"]}
+
+    return {"project": _lin_p(sd, "project.0"),
+            "lang_project": _lin_p(sd, "lang_project.0"),
+            "image_lang_att": {
+                "f_query": _lin_p(sd, "image_lang_att.f_query.0"),
+                "f_key": _lin_p(sd, "image_lang_att.f_key.0"),
+                "W": conv3("image_lang_att.W.0")}}
+
+
+def _efn_case(rng, seed, HW):
+    from lavt_rs_tpu.models.fusion_baselines import EFN
+
+    torch.manual_seed(seed)
+    dim, l_in, B, NL = 16, 24, 2, 6
+    om = oracle.EFNOracle(dim, dim, l_in)
+    om.eval()
+
+    x = rng.standard_normal((B, HW, dim)).astype(np.float32)
+    l = rng.standard_normal((B, NL, l_in)).astype(np.float32)
+    mask = (rng.random((B, NL)) > 0.2).astype(np.float32)
+    mask[:, 0] = 1.0
+
+    with torch.no_grad():
+        want = _np(om(torch.from_numpy(x),
+                      torch.from_numpy(l.transpose(0, 2, 1)),
+                      torch.from_numpy(mask[:, :, None])))
+
+    sd = {k: _np(v) for k, v in om.state_dict().items()}
+    m = EFN(dim=dim)
+    got = np.asarray(m.apply({"params": _efn_params(sd)}, jnp.asarray(x),
+                             jnp.asarray(l), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_efn_parity_small(rng):
+    # HW = 196 <= 225: full-resolution mutual attention, no pooling
+    _efn_case(rng, 12, 14 * 14)
+
+
+def test_efn_parity_pooled(rng):
+    # HW = 256 > 225: exercises the avg-pool-2x + bilinear-upsample fallback
+    # (reference bcam.py:239-245, 262-265 — the subtlest branch)
+    _efn_case(rng, 13, 16 * 16)

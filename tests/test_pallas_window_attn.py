@@ -140,7 +140,7 @@ def test_window_attention_module_pallas_matches_xla(rng):
 def test_fused_msa_2d_matches_partitioned(rng):
     """The spatial-grid kernel (partition folded into BlockSpec) equals
     partition -> fused_window_msa -> reverse."""
-    from lavt_rs_tpu.ops.pallas.fused_msa import (
+    from lavt_rs_tpu.ops.pallas.experimental import (
         _ref_forward_2d, fused_window_msa_2d,
     )
 

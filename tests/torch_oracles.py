@@ -370,3 +370,142 @@ class SepTPWAMOracle(nn.Module):
         mm = (ts_vis * lang).view(B, C, D, H, W)
         mm = (self.project_mm_t(mm) + self.project_mm_s(mm)).view(B, C, -1)
         return mm.permute(0, 2, 1)
+
+
+class BCAMOracle(nn.Module):
+    """BRINet bi-directional cross-attention (reference lib/bcam.py:7-72).
+
+    Inputs: x (B, HW, v_in); l (B, l_in, N_l); l_mask (B, N_l, 1).
+    hw is the learned relevance-projection size (must equal x's HW)."""
+
+    def __init__(self, dim, v_in, l_in, hw):
+        super().__init__()
+        self.lang_reduce = nn.Linear(l_in, dim)
+        self.vis_1 = nn.Sequential(nn.Linear(v_in, dim), nn.ReLU())
+        self.vis_2 = nn.Sequential(nn.Linear(v_in, dim), nn.ReLU())
+        self.vis_3 = nn.Sequential(nn.Linear(v_in, dim), nn.ReLU())
+        self.vis_4 = nn.Sequential(nn.Linear(v_in, dim), nn.ReLU())
+        self.out_1 = nn.Linear(dim, dim)
+        self.vis_2_2 = nn.Linear(dim, dim)
+        self.a_proj = nn.Linear(dim, hw)
+        self.out3_proj = nn.Sequential(nn.Linear(2 * dim, dim), nn.ReLU())
+
+    def forward(self, x, l, l_mask):
+        l = self.lang_reduce(l.permute(0, 2, 1))  # (B, N_l, dim)
+        l = l.permute(0, 2, 1)  # (B, dim, N_l)
+
+        query = self.vis_1(x)
+        sim = torch.matmul(query, l)  # (B, HW, N_l)
+        l_mask = l_mask.permute(0, 2, 1)  # (B, 1, N_l)
+        sim = sim + (1e4 * l_mask - 1e4)
+        sim = F.softmax(sim, dim=-1)
+        out = torch.matmul(sim, l.permute(0, 2, 1))  # (B, HW, dim)
+
+        query2 = self.vis_2(x)
+        a = torch.tanh(self.out_1(out) + self.vis_2_2(query2))
+        a = self.a_proj(a)  # (B, HW, HW)
+        rel_map = F.softmax(a, dim=-1)
+        query3 = self.vis_3(x)
+        out2 = torch.matmul(rel_map, query3)
+        out3 = self.out3_proj(torch.cat([out2, out], dim=-1))
+        return out3 + self.vis_4(x)
+
+
+class GACDOracle(nn.Module):
+    """GARAN collect-diffuse attention (reference lib/bcam.py:75-127)."""
+
+    def __init__(self, dim, v_in, l_in):
+        super().__init__()
+        self.dim = dim
+        self.lang_gen = nn.Sequential(
+            nn.Linear(l_in, v_in), nn.ReLU(), nn.Linear(v_in, v_in))
+        self.mm_gen = nn.Sequential(nn.Linear(v_in, dim), nn.ReLU())
+        self.query = nn.Linear(dim, dim)
+        self.key_c = nn.Linear(v_in, dim)
+        self.key_d = nn.Linear(v_in, dim)
+        self.value = nn.Linear(v_in, dim)
+
+    def forward(self, x, l, l_mask):
+        # LangProject: masked mean-pool over tokens, then 2-layer MLP
+        l_mask = l_mask.permute(0, 2, 1)  # (B, 1, N_l)
+        pooled = (l * l_mask).sum(dim=-1).div(l_mask.sum(dim=-1))
+        s = self.lang_gen(pooled).unsqueeze(1)  # (B, 1, v_in)
+
+        x = s * x
+        x = self.mm_gen(x)  # (B, HW, dim)
+
+        query = self.query(s)  # (B, 1, dim)  (requires v_in == dim)
+        key_c, key_d = self.key_c(x), self.key_d(x)
+        value = self.value(x)
+
+        a_c = torch.matmul(query, key_c.permute(0, 2, 1)) * self.dim ** -0.5
+        a_c = F.softmax(a_c, dim=-1)
+        a_d = torch.matmul(query, key_d.permute(0, 2, 1)) * self.dim ** -0.5
+        a_d = torch.sigmoid(a_d)
+
+        f_col = torch.matmul(a_c, value)  # (B, 1, dim)
+        f_dif = torch.matmul(a_d.permute(0, 2, 1), f_col)  # (B, HW, dim)
+        return x + f_dif
+
+
+class EFNAttentionOracle(nn.Module):
+    """Mutual HW x HW attention, 2x avg-pool fallback above 225 tokens
+    (reference lib/bcam.py:205-269)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.key_channels = dim
+        self.f_query = nn.Sequential(
+            nn.Conv1d(dim, dim, 1), nn.InstanceNorm1d(dim))
+        self.f_key = nn.Sequential(
+            nn.Conv1d(dim, dim, 1), nn.InstanceNorm1d(dim))
+        self.W = nn.Sequential(
+            nn.Conv1d(2 * dim, dim, 3, padding=1), nn.InstanceNorm1d(dim))
+
+    def forward(self, m, l_map):
+        # m, l_map: (B, dim, HW)
+        b, c, hw = m.shape
+        h = w = int(hw ** 0.5)
+        m = self.f_query(m)
+        l_map = self.f_key(l_map)
+        if hw > 225:
+            m = F.avg_pool2d(m.view(b, c, h, w), 2).view(b, c, hw // 4)
+            l_map = F.avg_pool2d(l_map.view(b, c, h, w), 2).view(b, c, hw // 4)
+        sim = torch.matmul(m.permute(0, 2, 1), l_map) * self.key_channels ** -0.5
+        s1 = F.softmax(sim, dim=-1)
+        s2 = F.softmax(sim, dim=-2).permute(0, 2, 1)
+        lp = torch.matmul(s1, l_map.permute(0, 2, 1))
+        mp = torch.matmul(s2, m.permute(0, 2, 1))
+        out = self.W(torch.cat([lp, mp], dim=-1).permute(0, 2, 1))
+        if hw > 225:
+            out = F.interpolate(out.view(b, c, h // 2, w // 2),
+                                scale_factor=2, mode="bilinear",
+                                align_corners=False).view(b, c, hw)
+        return out.permute(0, 2, 1)  # (B, HW, dim)
+
+
+class EFNOracle(nn.Module):
+    """Sentence-concat + mutual attention (reference lib/bcam.py:160-201)."""
+
+    def __init__(self, dim, v_in, l_in):
+        super().__init__()
+        self.project = nn.Sequential(nn.Conv1d(v_in + l_in, dim, 1), nn.GELU())
+        self.lang_project = nn.Sequential(nn.Conv1d(l_in, dim, 1), nn.GELU())
+        self.image_lang_att = EFNAttentionOracle(dim)
+
+    def forward(self, x, l, l_mask):
+        # x (B, HW, v_in); l (B, l_in, N_l); l_mask (B, N_l, 1)
+        b, hw = x.size(0), x.size(1)
+        l_mask = l_mask.permute(0, 2, 1)  # (B, 1, N_l)
+        sent = (l * l_mask).sum(dim=-1).div(l_mask.sum(dim=-1))  # (B, l_in)
+        sent = sent.unsqueeze(-1).expand(b, -1, hw)
+        x = torch.cat([x.permute(0, 2, 1), sent], dim=1)
+
+        m = self.project(x)  # (B, dim, HW)
+        lang = self.lang_project(l) * l_mask  # (B, dim, N_l)
+
+        score = torch.matmul(m.permute(0, 2, 1), lang) * m.size(1) ** -0.5
+        score = score + (1e4 * l_mask - 1e4)
+        score = F.softmax(score, dim=-1)
+        l_map = torch.matmul(score, lang.permute(0, 2, 1)).permute(0, 2, 1)
+        return self.image_lang_att(m, l_map)
