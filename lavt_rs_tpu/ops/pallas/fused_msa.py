@@ -27,6 +27,7 @@ XLA-GEMMs + attention-core-kernel fallback outside its VMEM gate.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -524,6 +525,33 @@ def fused_msa_padded_supported(nw: int, n: int, c: int, heads: int,
     if n_p == n:
         return False  # use the unpadded kernel
     return _pick_fwd_groups(nw, n_p, c, heads, itemsize) is not None
+
+
+def fused_msa_padded_routed(nw: int, n: int, c: int, heads: int,
+                            itemsize: int = 2) -> bool:
+    """Measured routing policy for the sublane-PADDED fused kernel (v5e).
+
+    Route when the padding tax is small: video (8,7,7) n=392 pads to 400
+    — (400/392)² = 1.04x attention FLOPs — and the padded kernel measured
+    1.6-4.5x XLA per block at every A2D Swin-T stage
+    (tools/bench_msa_video.py).  2D window-7 (n=49 -> 64) pays a 1.7x tax
+    and measured a LOSS at every Swin-T/S stage (tools/bench_msa_padded
+    .py history), so the tax bound keeps it unrouted.
+
+    LAVT_FUSED_PADDED=off disables this routing; a comma list of channel
+    counts (e.g. "96,192") routes only those widths (A/B benching and a
+    safety hatch; read per call so tests can toggle it)."""
+    env = os.environ.get("LAVT_FUSED_PADDED", "auto")
+    if env == "off":
+        return False
+    if env != "auto" and str(c) not in env.split(","):
+        return False
+    n_p = _sublane_pad(n, itemsize)
+    if n_p == n:
+        return False  # aligned: fused_msa_routed covers it
+    if (n_p / n) ** 2 > 1.10:
+        return False  # padding tax ate the win (e.g. 49 -> 64)
+    return fused_msa_padded_supported(nw, n, c, heads, itemsize)
 
 
 def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,

@@ -424,3 +424,41 @@ def test_bwd_picker_tier2_covers_video_stage4():
     assert _pick_head_groups(100, 144, 128, 4, 2) == (1, 10)
     assert _pick_head_groups(25, 144, 256, 8, 2) == (2, 5)
     assert _pick_head_groups(9, 144, 512, 16, 2) == (4, 3)
+
+
+def test_padded_routing_covers_video_not_window7_2d():
+    """The sublane-padded fused kernel routes at video (8,7,7) n=392
+    (pad tax (400/392)^2 = 1.04, measured 1.6-4.5x XLA per stage,
+    tools/bench_msa_video.py) but NOT at 2D window-7 n=49 (tax 1.7x,
+    measured loss)."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import fused_msa_padded_routed
+
+    # A2D Swin-T stages (nW, n, C, heads)
+    for nw, c, h in ((324, 96, 3), (81, 192, 6), (25, 384, 12),
+                     (9, 768, 24)):
+        assert fused_msa_padded_routed(nw, 392, c, h, 2), (nw, c, h)
+    # 2D window-7 (Swin-T/S) stays on XLA
+    for nw, c, h in ((900, 96, 3), (225, 192, 6), (64, 384, 12),
+                     (16, 768, 24)):
+        assert not fused_msa_padded_routed(nw, 49, c, h, 2), (nw, c, h)
+    # aligned n is the unpadded kernel's territory
+    assert not fused_msa_padded_routed(100, 144, 128, 4, 2)
+
+
+def test_window_attention_3d_param_tree_identical_across_routing():
+    """The fused-padded branch must keep nn.Dense's qkv/proj param tree so
+    checkpoints swap between TPU (fused) and CPU (XLA) runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.models.swin3d import WindowAttention3D
+
+    x = jnp.zeros((1, 4, 392, 32))
+    trees = []
+    for use_pallas in (False, True):
+        m = WindowAttention3D(dim=32, window_size=(8, 7, 7), num_heads=2,
+                              use_pallas=use_pallas, dtype=jnp.bfloat16)
+        v = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+        trees.append(jax.tree_util.tree_map(
+            lambda s: (s.shape, s.dtype), v))
+    assert trees[0] == trees[1]

@@ -85,8 +85,7 @@ def main():
         bert = BertEncoder(cfg.bert, dtype=dt)
         bert_v = jax.jit(bert.init)(jax.random.PRNGKey(1), ids1, msk1)
         seg_fns["bert"] = (
-            jax.jit(lambda v, t, m: bert(t, m).sum() if False else
-                    bert.apply(v, t, m).sum()),
+            jax.jit(lambda v, t, m: bert.apply(v, t, m).sum()),
             lambda img, ids, msk: (bert_v, ids, msk))
 
         backbone = MultiModalSwinTransformer(
