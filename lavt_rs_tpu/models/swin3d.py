@@ -68,20 +68,30 @@ class WindowAttention3D(nn.Module):
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 
-        # 3D uses the attention-only kernel (support-gated: window
-        # (8,12,12)'s n=1152 falls back to XLA inside window_attention).
-        # The fully fused MSA kernel LOSES here end-to-end, re-measured
-        # after the fat-GEMM + head-group-split rework (v5e, Swin-T A2D
-        # clips, window (8,7,7), b=1): in ISOLATION the fused kernel wins
-        # every stage (tools/bench_msa_bwd.py --stages v0..v3: fwd+bwd
-        # 4.4/2.2/1.5/1.3 ms vs ~8.9/4.8/4.1/2.2 per block), but routed
-        # into the full model the train step regresses 161 -> 228 ms/clip
-        # and inference 44 -> 76 ms/clip — at these geometries the
-        # surrounding layout copies, device-side mask materialization
-        # (the (nW, N, N) masks stay fused into XLA consumers on this
-        # path) and per-block remat interactions cost more than the
-        # kernels save.  Keep the XLA-composable path; the micro numbers
-        # are NOT sufficient evidence here.
+        # Video keeps the XLA-composable path by default.  The sublane-
+        # PADDED fused MSA kernel (392 -> 400, 1.04x FLOP tax) wins
+        # 1.6-4.5x per block at every A2D Swin-T stage in ISOLATION
+        # (tools/bench_msa_video.py), but the full-model A/B on v5e
+        # (tools/bench_fused_bisect.py) regressed e2e: 44 ms/clip XLA vs
+        # 76.7 ms all-stages-routed and 55-72 ms per-stage — layout
+        # copies and mask materialization around the kernel outweigh the
+        # kernel win, same as round 2's unpadded attempt (161 -> 228 ms
+        # train).  LAVT_FUSED_PADDED=<widths|all> is the A/B hatch that
+        # takes this branch.  Window (8,12,12)'s n=1152 busts the VMEM
+        # gates either way (support-gated inside window_attention).
+        from ..ops.pallas.fused_msa import fused_msa_padded_routed
+
+        if (self.use_pallas
+                and fused_msa_padded_routed(nw, n, c, h,
+                                            jnp.dtype(self.dtype).itemsize)):
+            from ..ops.pallas.fused_msa import fused_window_msa_padded
+            from .swin2d import _DenseParams
+
+            wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, True, name="proj")()
+            return fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj,
+                                           bias, mask, h, float(scale))
+
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(b, nw, n, 3, h, c // h)

@@ -531,20 +531,26 @@ def fused_msa_padded_routed(nw: int, n: int, c: int, heads: int,
                             itemsize: int = 2) -> bool:
     """Measured routing policy for the sublane-PADDED fused kernel (v5e).
 
-    Route when the padding tax is small: video (8,7,7) n=392 pads to 400
-    — (400/392)² = 1.04x attention FLOPs — and the padded kernel measured
-    1.6-4.5x XLA per block at every A2D Swin-T stage
-    (tools/bench_msa_video.py).  2D window-7 (n=49 -> 64) pays a 1.7x tax
-    and measured a LOSS at every Swin-T/S stage (tools/bench_msa_padded
-    .py history), so the tax bound keeps it unrouted.
+    Default: route NOTHING.  The padded kernel wins in isolation at
+    video (8,7,7) n=392 (pads to 400, 1.04x FLOP tax; 1.6-4.5x XLA per
+    block at every A2D Swin-T stage, tools/bench_msa_video.py) but the
+    full-model A/B on v5e (tools/bench_fused_bisect.py, 2026-08-19)
+    regressed END TO END: video inference 44 ms/clip on the XLA path vs
+    76.7 ms with all stages routed, and 55.1/71.7/62.2 ms with only the
+    C=96/192/384 stage routed — the surrounding layout copies and mask
+    materialization outside the kernel cost more than the kernel saves,
+    the same pathology that kept the unpadded kernel unrouted in round 2
+    (161 -> 228 ms/clip train).  2D window-7 (n=49 -> 64) additionally
+    pays a 1.7x padding tax and lost per block too.
 
-    LAVT_FUSED_PADDED=off disables this routing; a comma list of channel
-    counts (e.g. "96,192") routes only those widths (A/B benching and a
-    safety hatch; read per call so tests can toggle it)."""
-    env = os.environ.get("LAVT_FUSED_PADDED", "auto")
-    if env == "off":
+    LAVT_FUSED_PADDED is the A/B hatch (read per call so benches and
+    tests can toggle it): a comma list of channel counts (e.g. "96,192")
+    routes those widths; "all" routes every supported width; unset/"off"/
+    "auto" route nothing."""
+    env = os.environ.get("LAVT_FUSED_PADDED", "off")
+    if env in ("off", "auto", ""):
         return False
-    if env != "auto" and str(c) not in env.split(","):
+    if env != "all" and str(c) not in env.split(","):
         return False
     n_p = _sublane_pad(n, itemsize)
     if n_p == n:

@@ -426,18 +426,27 @@ def test_bwd_picker_tier2_covers_video_stage4():
     assert _pick_head_groups(9, 144, 512, 16, 2) == (4, 3)
 
 
-def test_padded_routing_covers_video_not_window7_2d():
-    """The sublane-padded fused kernel routes at video (8,7,7) n=392
-    (pad tax (400/392)^2 = 1.04, measured 1.6-4.5x XLA per stage,
-    tools/bench_msa_video.py) but NOT at 2D window-7 n=49 (tax 1.7x,
-    measured loss)."""
+def test_padded_routing_default_off_with_ab_hatch(monkeypatch):
+    """Default policy routes NOTHING through the padded fused kernel
+    (full-model A/B on v5e regressed e2e: 44 ms/clip XLA vs 55-77 ms
+    routed, tools/bench_fused_bisect.py).  LAVT_FUSED_PADDED is the A/B
+    hatch: a width list or 'all' routes supported geometries."""
     from lavt_rs_tpu.ops.pallas.fused_msa import fused_msa_padded_routed
 
-    # A2D Swin-T stages (nW, n, C, heads)
-    for nw, c, h in ((324, 96, 3), (81, 192, 6), (25, 384, 12),
-                     (9, 768, 24)):
+    stages = ((324, 96, 3), (81, 192, 6), (25, 384, 12), (9, 768, 24))
+    # default: unrouted everywhere
+    monkeypatch.delenv("LAVT_FUSED_PADDED", raising=False)
+    for nw, c, h in stages:
+        assert not fused_msa_padded_routed(nw, 392, c, h, 2), (nw, c, h)
+    # hatch: width list routes only those widths at supported geometries
+    monkeypatch.setenv("LAVT_FUSED_PADDED", "96,384")
+    assert fused_msa_padded_routed(324, 392, 96, 3, 2)
+    assert fused_msa_padded_routed(25, 392, 384, 12, 2)
+    assert not fused_msa_padded_routed(81, 392, 192, 6, 2)
+    monkeypatch.setenv("LAVT_FUSED_PADDED", "all")
+    for nw, c, h in stages:
         assert fused_msa_padded_routed(nw, 392, c, h, 2), (nw, c, h)
-    # 2D window-7 (Swin-T/S) stays on XLA
+    # 2D window-7 (n=49 -> 64, tax 1.7x) never routes, even under 'all'
     for nw, c, h in ((900, 96, 3), (225, 192, 6), (64, 384, 12),
                      (16, 768, 24)):
         assert not fused_msa_padded_routed(nw, 49, c, h, 2), (nw, c, h)
@@ -445,7 +454,7 @@ def test_padded_routing_covers_video_not_window7_2d():
     assert not fused_msa_padded_routed(100, 144, 128, 4, 2)
 
 
-def test_window_attention_3d_param_tree_identical_across_routing():
+def test_window_attention_3d_param_tree_identical_across_routing(monkeypatch):
     """The fused-padded branch must keep nn.Dense's qkv/proj param tree so
     checkpoints swap between TPU (fused) and CPU (XLA) runs."""
     import jax
@@ -453,6 +462,7 @@ def test_window_attention_3d_param_tree_identical_across_routing():
 
     from lavt_rs_tpu.models.swin3d import WindowAttention3D
 
+    monkeypatch.setenv("LAVT_FUSED_PADDED", "all")  # take the fused branch
     x = jnp.zeros((1, 4, 392, 32))
     trees = []
     for use_pallas in (False, True):
