@@ -99,7 +99,11 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
     sp0 = max(smax or 1, 1)
-    rb = refs_per_batch or max(1, -(-8 // sp0))  # device batch ~>= 8
+    # Device batch ~24 sentences: marginally slower per image on-device
+    # than the bs=8 knee (tools/bench_batch_scaling.py), but the loop is
+    # relay-transfer + per-batch-sync bound, and 3x more sentences per
+    # round-trip is a large net win (measured 53 -> 74 sent/s).
+    rb = refs_per_batch or max(1, -(-24 // sp0))
 
     def host_batches():
         """Prepared numpy batches: (last_index, sent_counts, arrays...)."""
@@ -127,14 +131,18 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
             yield i, scounts, image, ids, mask, target
             buf = []
 
-    # Producer thread: dataset decode + batch assembly overlaps device
-    # compute.  Queue depth bounds host memory (each slot ~ rb 480² images).
+    # Producer thread: dataset decode + batch assembly AND the
+    # host->device transfer (jnp.asarray) happen here, so the dominant
+    # relay transfer overlaps the consumer's dispatch + result syncs
+    # instead of serializing with them.  Queue depth bounds host+device
+    # memory (each slot ~ rb 480² uint8 images + targets).
     q: "queue.Queue" = queue.Queue(maxsize=max(pipeline_depth, 1))
 
     def produce():
         try:
-            for b in host_batches():
-                q.put(b)
+            for i, scounts, image, ids, mask, target in host_batches():
+                q.put((i, scounts, jnp.asarray(image), jnp.asarray(ids),
+                       jnp.asarray(mask), jnp.asarray(target)))
             q.put(None)
         except BaseException as e:  # surface in the consumer
             q.put(e)
@@ -164,9 +172,7 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
         if isinstance(b, BaseException):
             raise b
         i, scounts, image, ids, mask, target = b
-        inter_d, union_d = fwd_iou(
-            variables, jnp.asarray(image), jnp.asarray(ids),
-            jnp.asarray(mask), jnp.asarray(target))
+        inter_d, union_d = fwd_iou(variables, image, ids, mask, target)
         inflight.append((i, scounts, inter_d, union_d))
         if len(inflight) >= max(pipeline_depth, 1):
             drain_one()

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--sizes", default="8,16,32,64")
     ap.add_argument("--segments", action="store_true",
                     help="also time BERT/backbone/decoder separately")
+    ap.add_argument("--xla_only", action="store_true",
+                    help="use_pallas=False: bisect kernel-routing vs XLA "
+                    "batch-scaling effects")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,8 @@ def main():
     from lavt_rs_tpu.models.factory import build_model
 
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
-    cfg = lavt_one_base().replace(dtype="bfloat16", use_pallas=True)
+    cfg = lavt_one_base().replace(dtype="bfloat16",
+                                  use_pallas=not args.xla_only)
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)

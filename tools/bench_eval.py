@@ -28,6 +28,9 @@ def main():
                     help="host-normalized f32 image transfer")
     ap.add_argument("--bf16_transfer", action="store_true",
                     help="host-normalized bf16 image transfer")
+    ap.add_argument("--rb", type=lambda s: [int(x) for x in s.split(",")],
+                    default=[1, 0],
+                    help="comma list of refs_per_batch arms (0 = default)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +76,8 @@ def main():
     dt = jnp.bfloat16 if args.bf16_transfer else None
     mode = ("f32" if args.f32_transfer
             else "bf16" if args.bf16_transfer else "uint8")
-    for rb in (1, None):
+    for rb in args.rb:
+        rb = None if rb == 0 else rb
         evaluate(apply, variables, ds, log_every=0, refs_per_batch=rb,
                  image_dtype=dt)  # compile + warm
         t0 = time.perf_counter()
