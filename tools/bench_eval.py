@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--rb", type=lambda s: [int(x) for x in s.split(",")],
                     default=[1, 0],
                     help="comma list of refs_per_batch arms (0 = default)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="pipeline_depth (in-flight dispatches)")
     args = ap.parse_args()
 
     import jax
@@ -79,13 +81,13 @@ def main():
     for rb in args.rb:
         rb = None if rb == 0 else rb
         evaluate(apply, variables, ds, log_every=0, refs_per_batch=rb,
-                 image_dtype=dt)  # compile + warm
+                 image_dtype=dt, pipeline_depth=args.depth)  # compile + warm
         t0 = time.perf_counter()
         evaluate(apply, variables, ds, log_every=0, refs_per_batch=rb,
-                 image_dtype=dt)
+                 image_dtype=dt, pipeline_depth=args.depth)
         el = time.perf_counter() - t0
-        print(f"refs_per_batch={rb}: {nsent / el:.1f} sent/s "
-              f"({el:.1f}s warm, transfer={mode})", flush=True)
+        print(f"refs_per_batch={rb} depth={args.depth}: {nsent / el:.1f} "
+              f"sent/s ({el:.1f}s warm, transfer={mode})", flush=True)
 
 
 if __name__ == "__main__":
