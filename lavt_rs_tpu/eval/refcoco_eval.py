@@ -47,13 +47,21 @@ def _fwd_iou_for(model_apply: Callable):
     if fn is None:
         @jax.jit
         def fwd_iou(variables, image, ids, mask, target):
-            """image (R, H, W, 3) and target (R, H, W) are per-REF; ids /
-            mask (R, S, L) per sentence.  The xS broadcast happens ON
-            DEVICE — shipping each ref's image/target once instead of S
-            times cuts host->device transfer ~3x (the eval loop is
-            transfer-bound on a remote-attached TPU)."""
+            """image (R, H, W, 3) is per-REF; ids / mask (R, S, L) per
+            sentence; target is the BIT-PACKED binary mask
+            (R, ceil(H*W/8)) uint8 (np.packbits big-endian, zero-padded
+            tail) — 8x fewer target bytes over the relay, unpacked here
+            with a shift-and-mask (elementwise, negligible vs the
+            forward).  The xS broadcast happens ON DEVICE — shipping each
+            ref's image/target once instead of S times cuts host->device
+            transfer ~3x (the eval loop is transfer-bound on a
+            remote-attached TPU)."""
             r, s = ids.shape[:2]
             h, w = image.shape[1:3]
+            p8 = target.shape[1]
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # big-endian
+            bits = (target[:, :, None] >> shifts[None, None]) & jnp.uint8(1)
+            target = bits.reshape(r, p8 * 8)[:, :h * w].reshape(r, h, w)
             # uint8 pipeline: normalize the R per-ref images on device
             # BEFORE the xS broadcast (cheapest point in the graph)
             image = maybe_normalize_image(image)
