@@ -112,7 +112,8 @@ def main():
             variables = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes)
             jax.block_until_ready(variables)
-            log(f"init: {time.perf_counter() - t0:.1f}s")
+            log("param alloc (eval_shape+zeros): "
+                f"{time.perf_counter() - t0:.1f}s")
 
         fwd_sum = jax.jit(lambda v, *a: model.apply(v, *a).sum())
         t0 = time.perf_counter()

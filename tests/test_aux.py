@@ -133,6 +133,26 @@ def test_forward_with_features():
     assert any(k.startswith("fuse") for k in feats["classifier"])
 
 
+def test_refcoco_eval_target_pack_contract(rng):
+    """Host<->device target contract: host_batches ships np.packbits
+    (big-endian, zero-padded tail) targets; fwd_iou's shift-and-mask
+    unpack must round-trip to the original binary mask, including
+    non-multiple-of-8 H*W."""
+    import jax.numpy as jnp
+
+    for h, w in ((8, 8), (5, 7), (3, 3)):
+        masks = (rng.random((4, h, w)) > 0.5).astype(np.uint8)
+        packed = np.packbits(masks.reshape(4, -1), axis=1)
+        # replicate fwd_iou's device-side unpack
+        p8 = packed.shape[1]
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (jnp.asarray(packed)[:, :, None] >> shifts[None, None]) \
+            & jnp.uint8(1)
+        out = np.asarray(bits.reshape(4, p8 * 8)[:, :h * w]
+                         .reshape(4, h, w))
+        np.testing.assert_array_equal(out, masks)
+
+
 def test_refcoco_eval_ref_batching_parity(rng):
     """refs_per_batch batches multiple refs per forward (padded sentences,
     final batch padded by repetition) — metrics must equal the per-ref
