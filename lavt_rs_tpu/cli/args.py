@@ -140,6 +140,24 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="A2D inference: sparse-sample frames like training")
     p.add_argument("--sample_3", action="store_true",
                    help="JHMDB-only in the reference; accepted, unused")
+    # Random paired augmentations (reference transforms.py:33-103 —
+    # declared surface, off by default there too; train.py:54-60)
+    p.add_argument("--aug_random_resize", type=int, nargs="+", default=None,
+                   metavar="MIN [MAX]",
+                   help="smaller-edge random resize range before the final "
+                        "square resize (reference RandomResize)")
+    p.add_argument("--aug_random_hflip", type=float, default=0.0,
+                   metavar="P", help="paired horizontal flip probability "
+                                     "(reference RandomHorizontalFlip)")
+    p.add_argument("--aug_random_crop", type=int, default=None,
+                   metavar="SIZE",
+                   help="paired random crop (pad-if-smaller, mask fill 255 "
+                        "-> background; reference RandomCrop)")
+    p.add_argument("--aug_random_affine", type=float, nargs="+",
+                   default=None, metavar="DEG [TX TY [SLO SHI]]",
+                   help="paired random affine: rotation +-DEG, optional "
+                        "translate fractions, optional scale range "
+                        "(reference RandomAffine)")
     p.add_argument("-j", "--workers", type=int, default=8,
                    help="data-loader prefetch threads")
     p.add_argument("--pin_mem", action="store_true",

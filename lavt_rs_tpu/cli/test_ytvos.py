@@ -10,9 +10,19 @@ Behavioral contract (reference test_ytvos.py:52-279):
   * work sharded across workers — here by jax.process_index() over hosts
     (the reference spawns one mp.Process per GPU).
 
-TPU twist: whole-video clips can exceed HBM; --chunk_frames splits the
-video into temporal chunks processed independently (temporal attention
-windows are local, so chunk boundaries only affect a window-sized halo).
+TPU twists:
+  * whole-video clips can exceed HBM; --chunk_frames splits the video
+    into temporal chunks. Chunks OVERLAP by --chunk_halo frames on each
+    side and the halo frames are discarded on stitch, so frames keep
+    their full temporal receptive field (tested chunked == unchunked,
+    tests/test_cli_ytvos.py); --chunk_halo 0 restores raw truncation.
+  * the video loop is pipelined (eval/pipeline.py): frame decode +
+    host->device transfer of the NEXT videos run in a producer thread
+    while the current video's forwards are in flight, and PNG writes of
+    the previous expression overlap the device work.
+  * logits resize to the original resolution + argmax run ON DEVICE in
+    NCHW (jitted per original size), shipping (T, H, W) uint8 masks
+    instead of f32 logits.
 """
 
 from __future__ import annotations
@@ -40,6 +50,17 @@ def get_parser():
     p.add_argument("--out", default="./ytvos_masks")
     p.add_argument("--chunk_frames", type=int, default=0,
                    help="process videos in temporal chunks of this size")
+    p.add_argument("--chunk_halo", type=int, default=8,
+                   help="temporal halo frames overlapped on each side of a "
+                        "chunk and discarded on stitch, so chunking does "
+                        "not truncate temporal attention at chunk "
+                        "boundaries (default = the published config's "
+                        "temporal window, 8; 0 restores the raw truncating "
+                        "chunks)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="videos prefetched (decode + host->device "
+                        "transfer) ahead of the running forward; 1 = "
+                        "strictly sequential")
     p.add_argument("--max_videos", type=int, default=0)
     p.set_defaults(model="lavt_video", swin_type="tiny", split="valid")
     return p
@@ -71,14 +92,17 @@ def load_validation_videos(root: str, split: str):
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
+    import functools
+
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from ..data.transforms import load_image_resized
+    from ..eval.pipeline import run_pipelined
     from ..models.factory import build_model
     from ..ops.norm import maybe_normalize_image
-    from ..ops.resize import resize_2d
+    from ..ops.resize import resize_nchw
     from ..text.tokenizer import WordPieceTokenizer, resolve_vocab
 
     videos = load_validation_videos(args.ytvos_data_root, args.split)
@@ -106,79 +130,115 @@ def main(argv=None):
     # here one batched forward over the frame axis per expression.
     is_video = cfg.name == "lavt_video"
 
-    variables = None
     # frames ship as uint8 (4x less host->device traffic for whole-video
     # clips); ImageNet normalization happens on device
     fwd = jax.jit(lambda v, im, *a: model.apply(
         v, maybe_normalize_image(im), *a))
 
-    for vi, vid in enumerate(names):
-        frames = sorted(videos[vid]["frames"])
-        imgs, sizes = [], None
-        for fr in frames:
-            path = os.path.join(args.ytvos_data_root, args.split,
-                                "JPEGImages", vid, f"{fr}.jpg")
-            if sizes is None:  # header-only parse, no decode
-                with Image.open(path) as im:
-                    sizes = (im.height, im.width)
-            imgs.append(load_image_resized(path, args.img_size,
-                                           host_normalize=False))
-        clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
+    @functools.lru_cache(maxsize=32)
+    def _resize_argmax(sizes):
+        """(T, h, w, C) logits -> (T, H, W) uint8 masks, on device: the
+        corner-aligned upsample runs NCHW (C=2 in the minor dim wastes
+        126/128 lanes) and only uint8 masks cross back to the host."""
 
-        if variables is None:
-            init_vis = maybe_normalize_image(
-                clip[:, :1] if is_video else clip[:, 0])
-            if args.checkpoint.endswith((".pth", ".pt")):
-                from .test import _convert_torch_checkpoint
+        @jax.jit
+        def f(logits):
+            y = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
+            y = resize_nchw(y, sizes, method="bilinear",
+                            align_corners=True)
+            return jnp.argmax(y, axis=1).astype(jnp.uint8)
 
-                variables = jax.tree.map(
-                    jnp.asarray,
-                    _convert_torch_checkpoint(args.checkpoint, cfg))
-            elif args.checkpoint:
-                from ..train.checkpoint import restore_checkpoint
-                from ..train.optim import TrainConfig
-                from ..train.step import create_train_state
+        return f
 
-                init_vars = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), init_vis,
-                    jnp.ones((1, 22), jnp.int32),
-                    jnp.ones((1, 22), jnp.int32))
-                state, _ = create_train_state(model, init_vars,
-                                              TrainConfig())
-                state, _, _ = restore_checkpoint(args.checkpoint, state)
-                variables = {"params": state.params,
-                             "batch_stats": state.batch_stats}
-            else:
-                print("WARNING: random weights (no --checkpoint)",
-                      file=sys.stderr)
-                variables = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), init_vis,
-                    jnp.ones((1, 22), jnp.int32),
-                    jnp.ones((1, 22), jnp.int32))
+    # weights once, up front (shape-only init — the loop used to
+    # lazy-init from the first clip, which stalled the pipeline)
+    ssz = args.img_size
+    init_vis = jnp.zeros((1, 1, ssz, ssz, 3) if is_video
+                         else (1, ssz, ssz, 3), jnp.float32)
+    if args.checkpoint.endswith((".pth", ".pt")):
+        from .test import _convert_torch_checkpoint
 
-        for exp_idx, (exp_id, exp) in enumerate(
-                videos[vid]["expressions"].items()):
-            ids, attn = tok.encode_padded(exp["exp"], 22)
-            ids = jnp.asarray(ids[None].astype(np.int32))
-            attn = jnp.asarray(attn[None].astype(np.int32))
+        variables = jax.tree.map(
+            jnp.asarray, _convert_torch_checkpoint(args.checkpoint, cfg))
+    elif args.checkpoint:
+        from ..train.checkpoint import restore_checkpoint
+        from ..train.optim import TrainConfig
+        from ..train.step import create_train_state
 
+        init_vars = jax.jit(model.init)(
+            jax.random.PRNGKey(0), init_vis,
+            jnp.ones((1, 22), jnp.int32), jnp.ones((1, 22), jnp.int32))
+        state, _ = create_train_state(model, init_vars, TrainConfig())
+        state, _, _ = restore_checkpoint(args.checkpoint, state)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    else:
+        print("WARNING: random weights (no --checkpoint)", file=sys.stderr)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), init_vis,
+            jnp.ones((1, 22), jnp.int32), jnp.ones((1, 22), jnp.int32))
+
+    def produce():
+        """Decode + resize every frame of a video, tokenize all its
+        expressions, and ship the clip to the device — runs in the
+        pipeline's producer thread so the NEXT videos' IO overlaps the
+        current video's forwards."""
+        for vi, vid in enumerate(names):
+            frames = sorted(videos[vid]["frames"])
+            imgs, sizes = [], None
+            for fr in frames:
+                path = os.path.join(args.ytvos_data_root, args.split,
+                                    "JPEGImages", vid, f"{fr}.jpg")
+                if sizes is None:  # header-only parse, no decode
+                    with Image.open(path) as im:
+                        sizes = (im.height, im.width)
+                imgs.append(load_image_resized(path, args.img_size,
+                                               host_normalize=False))
+            clip = jnp.asarray(np.stack(imgs))[None]  # (1, T, H, W, 3)
+            exps = []
+            for exp_id, exp in videos[vid]["expressions"].items():
+                ids, attn = tok.encode_padded(exp["exp"], 22)
+                exps.append((exp_id,
+                             jnp.asarray(ids[None].astype(np.int32)),
+                             jnp.asarray(attn[None].astype(np.int32))))
+            yield vi, vid, frames, sizes, clip, exps
+
+    def dispatch(item):
+        vi, vid, frames, sizes, clip, exps = item
+        ra = _resize_argmax(sizes)
+        T = clip.shape[1]
+        step = args.chunk_frames or T
+        halo = args.chunk_halo if args.chunk_frames else 0
+        preds = []  # per expression: list of device (t, H, W) uint8 chunks
+        for exp_id, ids, attn in exps:
             chunks = []
-            T = clip.shape[1]
-            step = args.chunk_frames or T
             for s in range(0, T, step):
+                # halo-correct chunking: run [lo, hi) but keep only
+                # [s, s+step) — interior frames keep their full temporal
+                # receptive field (raw truncation silently changed masks
+                # at chunk boundaries)
+                lo, hi = max(0, s - halo), min(T, s + step + halo)
                 if is_video:
-                    logits = fwd(variables, clip[:, s:s + step], ids, attn)
+                    logits = fwd(variables, clip[:, lo:hi], ids, attn)
                 else:
-                    # single-frame path: (t, H, W, 3) batch of frames with
-                    # the expression broadcast along the batch axis
-                    frames_batch = clip[0, s:s + step]
+                    # single-frame path: the 2D model sees frames as a
+                    # batch; no temporal mixing -> no halo needed
+                    lo, hi = s, min(T, s + step)
+                    frames_batch = clip[0, lo:hi]
                     t = frames_batch.shape[0]
                     logits = fwd(variables, frames_batch,
                                  jnp.repeat(ids, t, axis=0),
                                  jnp.repeat(attn, t, axis=0))
-                chunks.append(np.asarray(
-                    resize_2d(logits, sizes).argmax(-1)).astype(np.uint8))
-            pred = np.concatenate(chunks, axis=0)  # (T, H, W)
+                keep_lo = s - lo
+                keep_hi = keep_lo + min(step, T - s)
+                chunks.append(ra(logits)[keep_lo:keep_hi])
+            preds.append((exp_id, chunks))
+        return preds
+
+    def sink(item, preds):
+        vi, vid, frames, sizes, clip, exps = item
+        for exp_idx, (exp_id, chunks) in enumerate(preds):
+            pred = np.concatenate([np.asarray(c) for c in chunks], axis=0)
 
             out_dir = os.path.join(args.out, vid, str(exp_id))
             os.makedirs(out_dir, exist_ok=True)
@@ -187,8 +247,8 @@ def main(argv=None):
                     os.path.join(out_dir, f"{fr}.png"))
 
             if args.visualize:
-                # RGBA-style overlays on the ORIGINAL frames, one color per
-                # expression (reference test_ytvos.py:255-269)
+                # RGBA-style overlays on the ORIGINAL frames, one color
+                # per expression (reference test_ytvos.py:255-269)
                 from ..utils.visualize import vis_add_mask
 
                 vis_dir = os.path.join(f"{args.out}_visualize", vid,
@@ -201,9 +261,10 @@ def main(argv=None):
                     Image.fromarray(
                         vis_add_mask(src, pred[t], exp_idx)).save(
                             os.path.join(vis_dir, f"{fr}.png"))
-        print(f"[{vi + 1}/{len(names)}] {vid}: "
-              f"{len(videos[vid]['expressions'])} expressions",
+        print(f"[{vi + 1}/{len(names)}] {vid}: {len(exps)} expressions",
               file=sys.stderr)
+
+    run_pipelined(produce, dispatch, sink, depth=args.pipeline_depth)
 
 
 if __name__ == "__main__":

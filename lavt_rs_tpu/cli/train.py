@@ -64,6 +64,20 @@ def synthetic_batches(args, steps, rng, video: bool = False,
         yield batch
 
 
+class _SizedIter:
+    """Wrap a generator with a known length so MetricLogger.log_every can
+    print [i/n] + ETA (PrefetchLoader has __len__, generators don't)."""
+
+    def __init__(self, it, n):
+        self._it, self._n = iter(it), n
+
+    def __iter__(self):
+        return self._it
+
+    def __len__(self):
+        return self._n
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
@@ -230,10 +244,25 @@ def main(argv=None):
                                           host_normalize=False))
             train_ds = ConcatDataset(parts)
         else:
+            from ..data.transforms import build_paired_augment
+
+            affine = None
+            if args.aug_random_affine:
+                a = args.aug_random_affine
+                affine = {"degrees": (-a[0], a[0])}
+                if len(a) >= 3:
+                    affine["translate"] = (a[1], a[2])
+                if len(a) >= 5:
+                    affine["scale"] = (a[3], a[4])
+            aug = build_paired_augment(
+                resize_range=(tuple(args.aug_random_resize * 2)[:2]
+                              if args.aug_random_resize else None),
+                hflip=args.aug_random_hflip,
+                crop=args.aug_random_crop, affine=affine, seed=args.seed)
             train_ds = ReferDataset(refer, tok, split=args.split,
                                     img_size=args.img_size,
                                     max_tokens=args.max_tokens,
-                                    host_normalize=False)
+                                    host_normalize=False, augment=aug)
         val_ds = ReferDataset(refer, tok, split=args.val_split,
                               img_size=args.img_size,
                               max_tokens=args.max_tokens, eval_mode=True,
@@ -340,23 +369,33 @@ def main(argv=None):
             not args.pretrained_video_lavt_weights_on_refcocos:
         keep = 8  # reference keeps the last 8 for scratch YTVOS runs
 
+    from ..utils.logging import MetricLogger, SmoothedValue
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         iou_sum, iou_n = 0.0, 0
-        for it, batch in enumerate(epoch_batches(epoch)):
+        # MetricLogger: iter/data timing, ETA, per-chip HBM (the reference
+        # MetricLogger.log_every line, utils.py:113-150)
+        logger = MetricLogger(out=sys.stderr)
+        logger.add_meter("lr", SmoothedValue(1, fmt="{value:.2e}"))
+        batches = logger.log_every(
+            _SizedIter(epoch_batches(epoch), iters_per_epoch),
+            max(args.print_freq, 1), header=f"Epoch: [{epoch}]")
+        for batch in batches:
             batch.pop("ref_id", None)
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, key)
+            # float() syncs on the step result — also what makes iter_time
+            # real on an async dispatch backend
+            logger.update(loss=float(metrics["loss"]),
+                          iou=float(metrics["iou"]),
+                          lr=float(metrics["lr"]))
             iou_sum += float(metrics["iou"])
             iou_n += 1
-            if (it + 1) % args.print_freq == 0 or args.synthetic:
-                print(f"epoch {epoch} [{it + 1}/{iters_per_epoch}] "
-                      f"loss={float(metrics['loss']):.4f} "
-                      f"iou={float(metrics['iou']):.4f} "
-                      f"lr={float(metrics['lr']):.2e}", file=sys.stderr)
+        logger.synchronize_between_processes()
         train_miou = 100.0 * iou_sum / max(iou_n, 1)
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s "
-              f"(train mIoU {train_miou:.2f})", file=sys.stderr)
+              f"(train mIoU {train_miou:.2f})  {logger}", file=sys.stderr)
 
         # validation every epoch, like the reference (train.py:743, 768);
         # checkpoints are named with their metrics (train.py:761-762).

@@ -40,7 +40,8 @@ class ReferDataset:
     def __init__(self, refer: REFER, tokenizer: WordPieceTokenizer,
                  split: str = "train", img_size: int = 480,
                  max_tokens: int = 20, eval_mode: bool = False,
-                 seed: int = 0, host_normalize: bool = True):
+                 seed: int = 0, host_normalize: bool = True,
+                 augment=None):
         self.refer = refer
         self.tokenizer = tokenizer
         self.split = split
@@ -49,6 +50,10 @@ class ReferDataset:
         self.eval_mode = eval_mode
         self.host_normalize = host_normalize  # False -> uint8 images,
         # normalized on device (ops/norm.py maybe_normalize_image)
+        # optional paired random augmentation (transforms.py
+        # build_paired_augment) applied at full resolution BEFORE the final
+        # model-size resize; train mode only (never on eval)
+        self.augment = augment if not eval_mode else None
         self.rng = np.random.default_rng(seed)
 
         self.ref_ids: List[int] = refer.getRefIds(split=split)
@@ -72,15 +77,36 @@ class ReferDataset:
     def __getitem__(self, index: int) -> ReferExample:
         ref_id = self.ref_ids[index]
         ref = self.refer.Refs[ref_id]
-        # image through the native decode+resize fast path (PIL fallback)
-        image = load_image_resized(self.refer.image_path(ref["image_id"]),
-                                   self.img_size,
-                                   host_normalize=self.host_normalize)
         ref_mask = self.refer.getMask(ref)["mask"]
         mask_img = Image.fromarray(ref_mask.astype(np.uint8), mode="P")
-        mask_img = mask_img.resize((self.img_size, self.img_size),
-                                   Image.NEAREST)
-        target = np.asarray(mask_img).astype(np.int32)
+        if self.augment is not None:
+            # augmented path: full-res PIL pair through the random augs,
+            # then the standard final resize. RandomCrop pads masks with
+            # 255 (ignore); our 2-class losses have no ignore channel, so
+            # map pad pixels to background (the reference never trains
+            # this path — its default pipeline has no random augs).
+            img = Image.open(
+                self.refer.image_path(ref["image_id"])).convert("RGB")
+            img, mask_img = self.augment(img, mask_img)
+            img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+            image = np.asarray(img)
+            if self.host_normalize:
+                from .transforms import normalize
+
+                image = normalize(image)
+            target_a = np.asarray(mask_img.resize(
+                (self.img_size, self.img_size), Image.NEAREST))
+            target = np.where(target_a == 255, 0,
+                              target_a).astype(np.int32)
+        else:
+            # image through the native decode+resize fast path (PIL
+            # fallback)
+            image = load_image_resized(
+                self.refer.image_path(ref["image_id"]), self.img_size,
+                host_normalize=self.host_normalize)
+            mask_img = mask_img.resize((self.img_size, self.img_size),
+                                       Image.NEAREST)
+            target = np.asarray(mask_img).astype(np.int32)
 
         if self.eval_mode:
             ids = self.input_ids[index]  # all sentences (S, N_l)

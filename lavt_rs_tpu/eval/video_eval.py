@@ -39,25 +39,42 @@ def _fwd_for(model_apply: Callable):
 
 def evaluate_a2d(model_apply: Callable, variables, ds,
                  max_items: Optional[int] = None,
-                 out_stream=None) -> dict:
+                 out_stream=None, pipeline_depth: int = 2) -> dict:
     """ds yields VideoExample with (T, H, W, 3) clips; the loss/metric is
-    computed on the annotated frame only (valid_index)."""
+    computed on the annotated frame only (valid_index).
+
+    Pipelined (eval/pipeline.py): clip decode + host->device transfer run
+    in a producer thread while up to pipeline_depth forwards stay in
+    flight — the loop is decode/transfer-bound on a remote-attached TPU.
+    """
+    from .pipeline import run_pipelined
+
     if out_stream is None:  # resolve at call time, not import time
         out_stream = sys.stderr
     metrics = SegMetrics()
     fwd = _fwd_for(model_apply)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
-    for i in range(n):
-        ex = ds[i]
-        logits = fwd(variables, jnp.asarray(ex.video[None]),
-                     jnp.asarray(ex.ids[None].astype(np.int32)),
-                     jnp.asarray(ex.mask[None].astype(np.int32)))
-        frame_logits = np.asarray(logits)[ex.valid_index]  # (H, W, C)
-        pred = frame_logits.argmax(-1)
+
+    def produce():
+        for i in range(n):
+            ex = ds[i]
+            yield (ex, jnp.asarray(ex.video[None]),
+                   jnp.asarray(ex.ids[None].astype(np.int32)),
+                   jnp.asarray(ex.mask[None].astype(np.int32)))
+
+    def dispatch(item):
+        ex, video, ids, mask = item
+        return fwd(variables, video, ids, mask)
+
+    def sink(item, logits):
+        ex = item[0]
+        pred = np.asarray(logits)[ex.valid_index].argmax(-1)  # (H, W)
         inter = np.logical_and(pred, ex.target).sum()
         union = np.logical_or(pred, ex.target).sum()
         metrics.update(np.asarray([inter]), np.asarray([union]))
+
+    run_pipelined(produce, dispatch, sink, depth=pipeline_depth)
 
     summary = metrics.summary()
     prec = " ".join(f"P@{t}={summary[f'P@{t}']:.2f}"
@@ -69,22 +86,36 @@ def evaluate_a2d(model_apply: Callable, variables, ds,
 
 def evaluate_ytvos_jf(model_apply: Callable, variables, ds,
                       max_items: Optional[int] = None,
-                      out_stream=None) -> dict:
+                      out_stream=None, pipeline_depth: int = 2) -> dict:
     """Local J&F over a labeled YTVOS-style dataset (all clip frames that
-    have ground truth; here the annotated frame per meta)."""
+    have ground truth; here the annotated frame per meta). Pipelined like
+    evaluate_a2d."""
+    from .pipeline import run_pipelined
+
     if out_stream is None:
         out_stream = sys.stderr
     jf = JFMetrics()
     fwd = _fwd_for(model_apply)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
-    for i in range(n):
-        ex = ds[i]
-        logits = fwd(variables, jnp.asarray(ex.video[None]),
-                     jnp.asarray(ex.ids[None].astype(np.int32)),
-                     jnp.asarray(ex.mask[None].astype(np.int32)))
+
+    def produce():
+        for i in range(n):
+            ex = ds[i]
+            yield (ex, jnp.asarray(ex.video[None]),
+                   jnp.asarray(ex.ids[None].astype(np.int32)),
+                   jnp.asarray(ex.mask[None].astype(np.int32)))
+
+    def dispatch(item):
+        ex, video, ids, mask = item
+        return fwd(variables, video, ids, mask)
+
+    def sink(item, logits):
+        ex = item[0]
         pred = np.asarray(logits)[ex.valid_index].argmax(-1)
         jf.update(pred.astype(np.uint8), ex.target.astype(np.uint8))
+
+    run_pipelined(produce, dispatch, sink, depth=pipeline_depth)
 
     summary = jf.summary()
     print(f"YTVOS(train-split) J={summary['J']:.2f} F={summary['F']:.2f} "

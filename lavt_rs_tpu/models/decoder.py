@@ -22,6 +22,36 @@ import flax.linen as nn
 from ..ops.resize import resize_2d
 
 
+class HeadConv1x1(nn.Module):
+    """1x1 classifier head with the same param tree as nn.Conv
+    (kernel (1,1,C,K), bias (K,)) but an explicit dot_general so the
+    class axis can land OUTSIDE the minor (lane) dimension.
+
+    With num_classes=2, an NHWC conv output wastes 126/128 lanes in every
+    op that touches it; measured 2.9 ms/step at bs 8 on v5e for a
+    0.24 GFLOP projection (tools/profile_infer.py). nchw=True emits
+    (B, K, H, W) — spatial minor — so the downstream final upsample runs
+    on full lanes.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    nchw: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[0, 0].astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if self.nchw:
+            y = jnp.einsum("bhwc,ck->bkhw", x.astype(self.dtype), k)
+            return y + b[:, None, None]
+        return jnp.einsum("bhwc,ck->bhwk", x.astype(self.dtype), k) + b
+
+
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
@@ -50,6 +80,7 @@ class SimpleDecoding(nn.Module):
     seg_last: bool = False
     train: bool = False
     dtype: jnp.dtype = jnp.float32
+    nchw_out: bool = False  # head emits (B, K, H, W); see HeadConv1x1
 
     @nn.compact
     def __call__(self, x_c4, x_c3, x_c2, x_c1: Optional[jnp.ndarray]):
@@ -57,8 +88,13 @@ class SimpleDecoding(nn.Module):
 
         def up_to(x, ref):
             if x.shape[1] < ref.shape[1] or x.shape[2] < ref.shape[2]:
+                # exact=False: intermediate features interpolate in the
+                # compute dtype (single-pass bf16 matmul under bf16 —
+                # AMP-equivalent); the exact f32 path is reserved for the
+                # final logits upsample
                 return resize_2d(x, (ref.shape[1], ref.shape[2]),
-                                 method="bilinear", align_corners=True)
+                                 method="bilinear", align_corners=True,
+                                 exact=False)
             return x
 
         x = jnp.concatenate([up_to(x_c4, x_c3), x_c3], axis=-1)
@@ -85,14 +121,15 @@ class SimpleDecoding(nn.Module):
             # Extra upsample+conv stage(s) (reference mask_predictor.py:88-97).
             base = x_c1 if x_c1 is not None else x
             x = resize_2d(x, (2 * base.shape[1], 2 * base.shape[2]),
-                          method="bilinear", align_corners=True)
+                          method="bilinear", align_corners=True, exact=False)
             x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
                            name="pre_seg")(x)
             if self.seg_last:
                 x = resize_2d(x, (4 * base.shape[1], 4 * base.shape[2]),
-                              method="bilinear", align_corners=True)
+                              method="bilinear", align_corners=True,
+                              exact=False)
                 x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
                                name="seg_last_conv")(x)
 
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                       name="head")(x)
+        return HeadConv1x1(self.num_classes, dtype=self.dtype,
+                           nchw=self.nchw_out, name="head")(x)

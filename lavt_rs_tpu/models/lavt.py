@@ -23,10 +23,21 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import ModelConfig
-from ..ops.resize import resize_2d
+from ..ops.resize import resize_2d, resize_nchw
 from .bert import BertEncoder
 from .decoder import SimpleDecoding
 from .swin2d import MultiModalSwinTransformer
+
+
+def _upsample_logits_nchw(logits_nchw, in_hw):
+    """Final corner-aligned upsample of (B, K, h, w) logits to the input
+    size, returned NHWC.  Keeping the class axis (K=2) OUT of the minor
+    dim until the very last transpose is worth ~5 ms/step at bs 8 on v5e
+    (an NHWC C=2 resize wastes 126/128 lanes in every op that touches
+    the logits; tools/profile_infer.py breakdown)."""
+    y = resize_nchw(logits_nchw.astype(jnp.float32), in_hw,
+                    method="bilinear", align_corners=True)
+    return jnp.transpose(y, (0, 2, 3, 1))
 
 
 class LAVTOne(nn.Module):
@@ -62,11 +73,9 @@ class LAVTOne(nn.Module):
             lazy_pred=cfg.lazy_pred,
             interpolate_before_seg=cfg.interpolate_before_seg,
             seg_last=cfg.seg_last, train=self.train_mode, dtype=dt,
-            name="classifier")(x_c4, x_c3, x_c2, x_c1)
+            nchw_out=True, name="classifier")(x_c4, x_c3, x_c2, x_c1)
 
-        logits = resize_2d(logits.astype(jnp.float32), in_hw,
-                           method="bilinear", align_corners=True)
-        return logits
+        return _upsample_logits_nchw(logits, in_hw)
 
 
 class LAVT(nn.Module):
@@ -91,11 +100,9 @@ class LAVT(nn.Module):
         x_c1, x_c2, x_c3, x_c4 = feats
         logits = SimpleDecoding(
             c4_dims=8 * cfg.swin.embed_dim, num_classes=cfg.num_classes,
-            train=self.train_mode, dtype=dt, name="classifier")(
-                x_c4, x_c3, x_c2, x_c1)
-        logits = resize_2d(logits.astype(jnp.float32), in_hw,
-                           method="bilinear", align_corners=True)
-        return logits
+            train=self.train_mode, dtype=dt, nchw_out=True,
+            name="classifier")(x_c4, x_c3, x_c2, x_c1)
+        return _upsample_logits_nchw(logits, in_hw)
 
 
 class LAVTTwo(nn.Module):
@@ -234,9 +241,9 @@ class LAVTVideo(nn.Module):
             lazy_pred=cfg.lazy_pred,
             interpolate_before_seg=cfg.interpolate_before_seg,
             seg_last=cfg.seg_last, train=self.train_mode, dtype=dt,
-            name="classifier")(x_c4, x_c3, x_c2, x_c1)
+            nchw_out=not cfg.seg_last, name="classifier")(
+                x_c4, x_c3, x_c2, x_c1)
 
         if not cfg.seg_last:
-            logits = resize_2d(logits.astype(jnp.float32), in_hw,
-                               method="bilinear", align_corners=True)
+            logits = _upsample_logits_nchw(logits, in_hw)
         return logits

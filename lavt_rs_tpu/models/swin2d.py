@@ -30,7 +30,9 @@ import flax.linen as nn
 from ..config import FusionConfig, FusionKind, GateKind, StageOutput, SwinConfig
 from ..ops.attention import window_attention
 from ..ops.window import (
+    partition_shifted,
     relative_bias_from_table,
+    reverse_shifted,
     shift_mask_2d,
     window_partition,
     window_reverse,
@@ -210,11 +212,7 @@ class SwinBlock(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
-        if ss > 0:
-            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
-            mask = shift_mask_2d(hp, wp, ws, ss)
-        else:
-            mask = None
+        mask = shift_mask_2d(hp, wp, ws, ss) if ss > 0 else None
 
         # NOTE: folding the window partition into the Pallas grid (the
         # fused_msa_2d spatial kernel) is blocked on real hardware — window
@@ -227,12 +225,23 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             use_pallas=self.use_pallas, dtype=self.dtype, name="attn")
         nw = (hp // ws) * (wp // ws)
-        xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
-        xw = attn(xw, mask=mask, deterministic=deterministic)
-        x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
+        import os as _os
 
-        if ss > 0:
-            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        if _os.environ.get("LAVT_TAKE_PARTITION", "1") != "0":
+            # shift + partition as ONE static-gather copy (exact same
+            # permutation as roll + reshape + 6D transpose; see
+            # ops/window.py partition_shifted)
+            xw = partition_shifted(x, ws, ss)
+            xw = attn(xw, mask=mask, deterministic=deterministic)
+            x = reverse_shifted(xw, ws, ss, hp, wp)
+        else:
+            if ss > 0:
+                x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
+            xw = attn(xw, mask=mask, deterministic=deterministic)
+            x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
+            if ss > 0:
+                x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
         if pad_b or pad_r:
             x = x[:, :h, :w, :]
         x = x.reshape(b, h * w, c)

@@ -85,7 +85,7 @@ def _cubic_matrix_np(out_size: int, in_size: int, align_corners: bool) -> np.nda
 
 
 def resize_2d(x: jnp.ndarray, out_hw, method: str = "bilinear",
-              align_corners: bool = True) -> jnp.ndarray:
+              align_corners: bool = True, exact: bool = True) -> jnp.ndarray:
     """Resize the two spatial dims of an NHWC (or ...HWC) tensor.
 
     Args:
@@ -93,23 +93,29 @@ def resize_2d(x: jnp.ndarray, out_hw, method: str = "bilinear",
       out_hw: (out_H, out_W).
       method: 'bilinear' or 'bicubic'.
       align_corners: corner-aligned grid (the reference's convention).
+      exact: f32 HIGHEST-precision matmuls (bit-parity with the torch
+        kernel — keep for logits/eval/converter paths). exact=False
+        interpolates in x's own dtype at default precision: under bf16
+        that is ONE MXU pass instead of f32's multi-pass, the right
+        trade for intermediate decoder features (AMP semantics).
     """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     in_h, in_w = x.shape[-3], x.shape[-2]
     if (in_h, in_w) == (out_h, out_w):
         return x
     mat = {"bilinear": _linear_matrix_np, "bicubic": _cubic_matrix_np}[method]
-    ah = jnp.asarray(mat(out_h, in_h, align_corners))
-    aw = jnp.asarray(mat(out_w, in_w, align_corners))
     dt = x.dtype
-    # Full f32 on the MXU: resize feeds mask logits/eval, keep it exact.
+    cdt = jnp.float32 if exact else dt
+    ah = jnp.asarray(mat(out_h, in_h, align_corners), cdt)
+    aw = jnp.asarray(mat(out_w, in_w, align_corners), cdt)
+    # exact: full f32 on the MXU — resize feeds mask logits/eval.
     # Layout note: C is often tiny (2 class logits), so keep the big W*C /
     # W axes in the lane dimension instead of C — fold (W, C) for the
     # H-pass and transpose C ahead of W for the W-pass.
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGHEST if exact else None
     lead = x.shape[:-3]
     c = x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(lead + (in_h, in_w * c))
+    xf = x.astype(cdt).reshape(lead + (in_h, in_w * c))
     y = jnp.einsum("...hm,oh->...om", xf, ah, precision=hp)
     y = y.reshape(lead + (out_h, in_w, c))
     y = jnp.swapaxes(y, -1, -2)  # (..., out_h, c, in_w)

@@ -46,6 +46,44 @@ def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray
 
 
 @functools.lru_cache(maxsize=64)
+def _shifted_partition_idx_np(hp: int, wp: int, ws: int, ss: int):
+    """Static gather indices fusing cyclic shift + window partition into
+    ONE copy: out[b, wi*Ww+wj, i*ws+j] = x[b, flat] with
+    flat = ((wi*ws+i+ss) % hp) * wp + ((wj*ws+j+ss) % wp).
+
+    The decomposed chain (roll -> reshape -> 6D transpose -> reshape) costs
+    2-3 HBM round-trips per block; as a single static `take` XLA emits one
+    gather-copy (and fuses the inverse with the residual add). Exact same
+    permutation — parity-tested against window_partition/jnp.roll."""
+    wi, wj, i, j = np.meshgrid(np.arange(hp // ws), np.arange(wp // ws),
+                               np.arange(ws), np.arange(ws), indexing="ij")
+    src = (((wi * ws + i + ss) % hp) * wp + ((wj * ws + j + ss) % wp))
+    fwd = np.ascontiguousarray(src.reshape(-1).astype(np.int32))
+    inv = np.empty(hp * wp, np.int32)
+    inv[fwd] = np.arange(hp * wp, dtype=np.int32)
+    return fwd, inv
+
+
+def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
+    """(B, Hp, Wp, C) -> (B, nW, ws*ws, C): cyclic shift by -ss on both
+    spatial axes + window partition, as one static gather."""
+    b, hp, wp, c = x.shape
+    fwd, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
+    nw = (hp // ws) * (wp // ws)
+    return jnp.take(x.reshape(b, hp * wp, c), jnp.asarray(fwd),
+                    axis=1).reshape(b, nw, ws * ws, c)
+
+
+def reverse_shifted(xw: jnp.ndarray, ws: int, ss: int,
+                    hp: int, wp: int) -> jnp.ndarray:
+    """Inverse of partition_shifted: (B, nW, ws*ws, C) -> (B, Hp, Wp, C)."""
+    b, nw, n, c = xw.shape
+    _, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
+    return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
+                    axis=1).reshape(b, hp, wp, c)
+
+
+@functools.lru_cache(maxsize=64)
 def _shift_region_ids_2d_np(hp: int, wp: int, ws: int,
                             shift: int) -> np.ndarray:
     """(nW, ws*ws) int32 region ids of each windowed token."""

@@ -85,17 +85,52 @@ def tp_sharding_tree(mesh: Mesh, tree):
     return jax.tree_util.tree_map_with_path(spec, tree)
 
 
-def shard_opt_state_zero1(mesh: Mesh, opt_state, data_axis_size: int):
+def zero1_spec(shape, data_axis_size: int) -> P:
+    """ZeRO-1 PartitionSpec for one moment leaf: shard the LARGEST axis
+    divisible by dp (dim0-only sharding left every 3x3/1x1 conv kernel
+    moment replicated — their dim0 is the kernel height, 3 or 1)."""
+    if not shape:
+        return P()
+    divisible = [(n, i) for i, n in enumerate(shape)
+                 if n > 1 and n % data_axis_size == 0]
+    if not divisible:
+        return P()
+    _, axis = max(divisible)
+    spec = [None] * len(shape)
+    spec[axis] = "data"
+    return P(*spec)
+
+
+def shard_opt_state_zero1(mesh: Mesh, opt_state, data_axis_size: int,
+                          report: bool = False):
     """Shard AdamW's first/second moments over the 'data' axis (ZeRO-1:
     params and grads stay replicated/psum'd; only the optimizer state is
     partitioned — an 8x memory cut on the moments at dp=8). GSPMD keeps
     the update math identical; each shard updates its slice and the new
-    params are all-gathered by the consumer."""
+    params are all-gathered by the consumer.
+
+    report=True logs the sharded fraction of moment bytes to stderr so a
+    silently-replicated state is visible; the fraction is also returned
+    as (tree, fraction)."""
+    stats = {"sharded": 0, "total": 0}
 
     def put(leaf):
         shape = getattr(leaf, "shape", ())
-        if len(shape) >= 1 and shape[0] % data_axis_size == 0 and shape[0] > 1:
-            return jax.device_put(leaf, NamedSharding(mesh, P("data")))
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
+        spec = zero1_spec(shape, data_axis_size)
+        nbytes = getattr(leaf, "nbytes", 0)
+        stats["total"] += nbytes
+        if spec != P():
+            stats["sharded"] += nbytes
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, opt_state)
+    tree = jax.tree.map(put, opt_state)
+    frac = stats["sharded"] / max(stats["total"], 1)
+    if report:
+        import sys
+
+        print(f"ZeRO-1: {stats['sharded'] / 2**20:.1f} / "
+              f"{stats['total'] / 2**20:.1f} MiB of optimizer state "
+              f"sharded over dp={data_axis_size} ({100 * frac:.1f}%)",
+              file=sys.stderr)
+        return tree, frac
+    return tree

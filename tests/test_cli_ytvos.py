@@ -117,3 +117,50 @@ def test_202_video_assertion(tmp_path):
     build(17, bad)
     with pytest.raises(AssertionError, match="incorrect number"):
         load_validation_videos(str(bad), "valid")
+
+
+def test_chunk_frames_halo_matches_unchunked(tmp_path, monkeypatch):
+    """--chunk_frames with the default halo must reproduce the unchunked
+    masks exactly: chunks overlap by --chunk_halo frames and the halo is
+    discarded on stitch, so every kept frame keeps its full temporal
+    receptive field (halo >= receptive field here). Raw truncation
+    (--chunk_halo 0) silently changed masks at chunk boundaries."""
+    import json
+
+    from lavt_rs_tpu.cli import test_ytvos as cli
+
+    monkeypatch.setattr("lavt_rs_tpu.cli.args.model_config_from_args",
+                        _shrunk)
+    rng = np.random.default_rng(1)
+    root = tmp_path / "ytvos_long"
+    frames = [f"{i:05d}" for i in range(16)]
+    jdir = root / "valid" / "JPEGImages" / "vidL"
+    jdir.mkdir(parents=True)
+    for fr in frames:
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), np.uint8)
+                        ).save(jdir / f"{fr}.jpg")
+    meta = {"videos": {"vidL": {"frames": frames,
+                                "expressions": {"0": {"exp": "a cat"}}}}}
+    mdir = root / "meta_expressions" / "valid"
+    mdir.mkdir(parents=True)
+    with open(mdir / "meta_expressions.json", "w") as f:
+        json.dump(meta, f)
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(VOCAB) + "\n")
+
+    base = ["--model", "lavt_video", "--ytvos_data_root", str(root),
+            "--vocab", str(vocab), "--img_size", "32", "--num_frames", "2",
+            "--no_bf16", "--seed", "0"]
+    out_full = str(tmp_path / "full")
+    out_chunk = str(tmp_path / "chunk")
+    cli.main(base + ["--out", out_full])
+    cli.main(base + ["--out", out_chunk, "--chunk_frames", "8",
+                     "--chunk_halo", "8"])
+
+    for fr in frames:
+        a = np.asarray(Image.open(os.path.join(out_full, "vidL", "0",
+                                                f"{fr}.png")))
+        b = np.asarray(Image.open(os.path.join(out_chunk, "vidL", "0",
+                                                f"{fr}.png")))
+        np.testing.assert_array_equal(a, b, err_msg=fr)

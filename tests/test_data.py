@@ -180,3 +180,111 @@ def test_prefetch_loader(synthetic_refcoco):
     # different epoch -> potentially different order; loader reusable
     loader.set_epoch(1)
     assert len(list(loader)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Random paired augmentations (reference transforms.py:33-103)
+# ---------------------------------------------------------------------------
+
+def test_random_resize_pair_smaller_edge(rng):
+    from lavt_rs_tpu.data.transforms import random_resize_pair
+
+    img = Image.fromarray(rng.integers(0, 255, (40, 60, 3), np.uint8))
+    mask = Image.fromarray((rng.random((40, 60)) > 0.5).astype(np.uint8))
+    r = np.random.default_rng(0)
+    im2, mk2 = random_resize_pair(img, mask, 20, 20, r)
+    # smaller edge (h=40) -> 20, aspect preserved -> w=30
+    assert im2.size == (30, 20) and mk2.size == (30, 20)
+    # NEAREST mask stays binary
+    assert set(np.unique(np.asarray(mk2))) <= {0, 1}
+    # degenerate range = deterministic size
+    im3, _ = random_resize_pair(img, mask, 80, None, r)
+    assert im3.size == (120, 80)
+
+
+def test_pad_if_smaller_fill_and_placement():
+    from lavt_rs_tpu.data.transforms import pad_if_smaller
+
+    mask = Image.fromarray(np.ones((4, 6), np.uint8))
+    out = np.asarray(pad_if_smaller(mask, 8, fill=255))
+    assert out.shape == (8, 8)
+    # original content top-left, pad right/bottom with 255
+    assert (out[:4, :6] == 1).all()
+    assert (out[4:, :] == 255).all() and (out[:, 6:] == 255).all()
+    img = Image.fromarray(np.full((4, 6, 3), 7, np.uint8))
+    oi = np.asarray(pad_if_smaller(img, 8))
+    assert oi.shape == (8, 8, 3) and (oi[5, 5] == 0).all()
+
+
+def test_random_crop_pair_is_paired(rng):
+    from lavt_rs_tpu.data.transforms import random_crop_pair
+
+    # identical content in img & mask -> identical crops proves ONE (i, j)
+    grid = rng.integers(0, 200, (30, 30), np.uint8)
+    img = Image.fromarray(np.stack([grid] * 3, -1))
+    mask = Image.fromarray(grid)
+    r = np.random.default_rng(3)
+    ic, mc = random_crop_pair(img, mask, 12, r)
+    assert ic.size == (12, 12) and mc.size == (12, 12)
+    np.testing.assert_array_equal(np.asarray(ic)[:, :, 0], np.asarray(mc))
+
+
+def test_affine_pair_identity_and_translate(rng):
+    from lavt_rs_tpu.data.transforms import affine_pair
+
+    arr = rng.integers(0, 255, (16, 16, 3), np.uint8)
+    m = (rng.random((16, 16)) > 0.5).astype(np.uint8)
+    img, mask = Image.fromarray(arr), Image.fromarray(m)
+    i0, m0 = affine_pair(img, mask, 0.0)
+    np.testing.assert_array_equal(np.asarray(i0), arr)
+    np.testing.assert_array_equal(np.asarray(m0), m)
+    # pure integer translate: content moves by (tx, ty), NEAREST exact
+    i1, m1 = affine_pair(img, mask, 0.0, translate=(3, 2))
+    np.testing.assert_array_equal(np.asarray(i1)[2:, 3:], arr[:-2, :-3])
+    np.testing.assert_array_equal(np.asarray(m1)[2:, 3:], m[:-2, :-3])
+    # 90-degree rotation of a centered square keeps its pixel count
+    sq = np.zeros((17, 17), np.uint8)
+    sq[6:11, 6:11] = 1
+    _, m90 = affine_pair(Image.fromarray(sq), Image.fromarray(sq), 90.0)
+    assert np.asarray(m90).sum() == 25
+
+
+def test_random_affine_pair_same_params(rng):
+    from lavt_rs_tpu.data.transforms import random_affine_pair
+
+    grid = rng.integers(0, 200, (24, 24), np.uint8)
+    img = Image.fromarray(np.stack([grid] * 3, -1))
+    mask = Image.fromarray(grid)
+    r = np.random.default_rng(7)
+    i2, m2 = random_affine_pair(img, mask, r, degrees=(-30, 30),
+                                translate=(0.2, 0.2), scale=(0.8, 1.2),
+                                shear=(-5, 5))
+    np.testing.assert_array_equal(np.asarray(i2)[:, :, 1], np.asarray(m2))
+
+
+def test_build_paired_augment_off_by_default():
+    from lavt_rs_tpu.data.transforms import build_paired_augment
+
+    assert build_paired_augment() is None
+    assert build_paired_augment(hflip=0.5) is not None
+
+
+def test_refer_dataset_augmented(synthetic_refcoco):
+    from lavt_rs_tpu.data.transforms import build_paired_augment
+
+    r = REFER(synthetic_refcoco, "refcoco", "unc")
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(VOCAB)})
+    aug = build_paired_augment(resize_range=(30, 50), hflip=0.5,
+                               crop=28, seed=1)
+    ds = ReferDataset(r, tok, split="train", img_size=32, max_tokens=8,
+                      augment=aug, host_normalize=False)
+    ex = ds[0]
+    assert ex.image.shape == (32, 32, 3) and ex.image.dtype == np.uint8
+    assert ex.target.shape == (32, 32)
+    # crop pad fill (255) must have been mapped to background for the
+    # 2-class loss
+    assert set(np.unique(ex.target)) <= {0, 1}
+    # eval mode never augments
+    ds_ev = ReferDataset(r, tok, split="val", img_size=32, max_tokens=8,
+                         eval_mode=True, augment=aug, host_normalize=False)
+    assert ds_ev.augment is None

@@ -206,3 +206,24 @@ def test_relative_bias_3d_grad_matches_gather(rng):
         want = jax.grad(loss_ref)(table)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_partition_shifted_matches_roll_partition(rng):
+    """partition_shifted / reverse_shifted (single static gather) must be
+    the exact same permutation as roll -> window_partition and its
+    inverse, for shifted and unshifted blocks."""
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.ops.window import (partition_shifted, reverse_shifted,
+                                        window_partition, window_reverse)
+
+    for (hp, wp, ws, ss) in ((24, 24, 12, 6), (24, 36, 12, 0),
+                             (14, 14, 7, 3)):
+        x = jnp.asarray(rng.standard_normal((2, hp, wp, 5)), jnp.float32)
+        nw = (hp // ws) * (wp // ws)
+        ref = jnp.roll(x, (-ss, -ss), (1, 2)) if ss else x
+        ref_w = window_partition(ref, ws).reshape(2, nw, ws * ws, 5)
+        got_w = partition_shifted(x, ws, ss)
+        np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
+        back = reverse_shifted(got_w, ws, ss, hp, wp)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

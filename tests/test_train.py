@@ -370,8 +370,12 @@ def test_zero1_opt_state_sharding_matches_replicated():
     s_rep, m_rep = jax.jit(step)(s_rep, sb, key)
 
     s_z = replicate(mesh, state)
-    s_z = dataclasses.replace(
-        s_z, opt_state=shard_opt_state_zero1(mesh, s_z.opt_state, 8))
+    z_opt, frac = shard_opt_state_zero1(mesh, s_z.opt_state, 8,
+                                        report=True)
+    s_z = dataclasses.replace(s_z, opt_state=z_opt)
+    # largest-divisible-axis sharding must cover nearly all moment bytes
+    # (dim0-only sharding left every conv kernel replicated)
+    assert frac >= 0.9, f"only {frac:.1%} of moment bytes sharded"
     s_z, m_z = jax.jit(step)(s_z, sb, key)
 
     np.testing.assert_allclose(float(m_z["loss"]), float(m_rep["loss"]),
@@ -417,3 +421,21 @@ def test_amsgrad_matches_torch():
 
     np.testing.assert_allclose(np.asarray(params["w"]),
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_zero1_spec_largest_divisible_axis():
+    from jax.sharding import PartitionSpec as P
+
+    from lavt_rs_tpu.parallel.tp import zero1_spec
+
+    # conv kernel (3, 3, 128, 256): dim0 indivisible, largest divisible
+    # axis is 256 -> shard axis 3
+    assert zero1_spec((3, 3, 128, 256), 8) == P(None, None, None, "data")
+    # dense (768, 3072): shard the bigger axis
+    assert zero1_spec((768, 3072), 8) == P(None, "data")
+    assert zero1_spec((3072, 768), 8) == P("data", None)
+    # nothing divisible -> replicated
+    assert zero1_spec((3, 3, 3, 7), 8) == P()
+    assert zero1_spec((), 8) == P()
+    # scalars/1d
+    assert zero1_spec((1024,), 8) == P("data")
