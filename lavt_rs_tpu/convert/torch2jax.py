@@ -36,11 +36,49 @@ FlatDict = Dict[str, Array]
 # helpers
 # ---------------------------------------------------------------------------
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolve a checkpoint location to a local file, fetching http(s) URLs
+    into ~/.cache/lavt_rs_tpu (the reference loads from URL / model-zoo via
+    mmcv, lib/mmcv_custom/checkpoint.py:41-80).  torchvision's
+    'modelzoo://' scheme maps to the torchvision weight URLs only when
+    torchvision is importable; otherwise a clear error tells the user to
+    download manually (this environment has no egress)."""
+    if path.startswith(("http://", "https://")):
+        import hashlib
+        import os
+        import urllib.request
+
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "lavt_rs_tpu")
+        os.makedirs(cache, exist_ok=True)
+        name = (hashlib.sha1(path.encode()).hexdigest()[:12] + "_"
+                + os.path.basename(path.split("?")[0]))
+        local = os.path.join(cache, name)
+        if not os.path.exists(local):
+            tmp = local + ".part"
+            try:
+                urllib.request.urlretrieve(path, tmp)
+            except Exception as e:
+                raise RuntimeError(
+                    f"could not fetch checkpoint {path!r} ({e!r}); "
+                    f"download it manually and pass the local path"
+                ) from e
+            os.replace(tmp, local)
+        return local
+    if path.startswith(("modelzoo://", "torchvision://")):
+        raise RuntimeError(
+            f"{path!r}: model-zoo schemes need torchvision's URL table; "
+            "download the weight file and pass a local path or URL")
+    return path
+
+
 def load_torch_state_dict(path: str) -> FlatDict:
-    """Load a .pth checkpoint into {name: np.ndarray} (CPU, no grad)."""
+    """Load a .pth checkpoint into {name: np.ndarray} (CPU, no grad).
+    Accepts local paths and http(s) URLs (see resolve_checkpoint_path)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(resolve_checkpoint_path(path), map_location="cpu",
+                      weights_only=False)
     for key in ("model", "state_dict", "module"):
         if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
             ckpt = ckpt[key]

@@ -132,8 +132,12 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic: bool = True):
-        """x: (B, nW, N, C); mask: (nW, N, N) or None."""
+    def __call__(self, x, mask=None, ln=None, *, deterministic: bool = True):
+        """x: (B, nW, N, C); mask: (nW, N, N) or None.
+
+        ln: optional (scale, bias) of the block's pre-attention LayerNorm
+        — when given, x is PRE-LN tokens and the LN runs inside the fused
+        kernel (or as an explicit f32 row-norm on the fallback paths)."""
         h = self.num_heads
         wh, ww = self.window_size
         b, nw, n, c = x.shape
@@ -161,13 +165,23 @@ class WindowAttention(nn.Module):
                     and fused_msa_routed(nw, n, c, h,
                                          jnp.dtype(self.dtype).itemsize))
         if fused_ok:
-            from ..ops.pallas.fused_msa import fused_window_msa
+            from ..ops.pallas.fused_msa import (fused_window_msa,
+                                                fused_window_msa_ln)
 
             wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
             wproj, bproj = _DenseParams(c, c, True, name="proj")()
-            out = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias, mask,
-                                   h, float(scale))
+            if ln is not None:
+                out = fused_window_msa_ln(x, ln[0], ln[1], wqkv, bqkv,
+                                          wproj, bproj, bias, mask,
+                                          h, float(scale))
+            else:
+                out = fused_window_msa(x, wqkv, bqkv, wproj, bproj, bias,
+                                       mask, h, float(scale))
         else:
+            if ln is not None:  # fallback: explicit pre-attention LN
+                from ..ops.pallas.fused_msa import layer_norm_f32
+
+                x = layer_norm_f32(x, ln[0], ln[1])
             qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                            name="qkv")(x)
             qkv = qkv.reshape(b, nw, n, 3, h, c // h)
@@ -203,11 +217,33 @@ class SwinBlock(nn.Module):
         ws, ss = self.window_size, self.shift_size
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x.reshape(b, h, w, c)
 
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
+        # Fuse the pre-attention LN into the MSA kernel when the fused
+        # path is routed AND windowing needs no padding (the reference
+        # pads AFTER LN with zeros; in-kernel LN of a pad row would give
+        # ln_bias — at 480² only stage 4 pads, 15 -> 24).  Saves a full
+        # HBM round-trip + f32 convert per block; measured at bs 32 the
+        # separate norm1 pass stopped fusing and cost ~0.25 ms/img.
+        import os as _os
+
+        from ..ops.pallas.fused_msa import fused_msa_routed as _routed
+
+        nw_pre = ((h + pad_b) // ws) * ((w + pad_r) // ws)
+        ln_in_attn = (self.use_pallas and not (pad_b or pad_r)
+                      and _os.environ.get("LAVT_FUSED_LN", "1") != "0"
+                      and _routed(nw_pre, ws * ws, c,
+                                  self.num_heads,
+                                  jnp.dtype(self.dtype).itemsize))
+        if ln_in_attn:
+            ln_params = _LNParams(c, name="norm1")()
+        else:
+            ln_params = None
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
@@ -232,13 +268,15 @@ class SwinBlock(nn.Module):
             # permutation as roll + reshape + 6D transpose; see
             # ops/window.py partition_shifted)
             xw = partition_shifted(x, ws, ss)
-            xw = attn(xw, mask=mask, deterministic=deterministic)
+            xw = attn(xw, mask=mask, ln=ln_params,
+                      deterministic=deterministic)
             x = reverse_shifted(xw, ws, ss, hp, wp)
         else:
             if ss > 0:
                 x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
             xw = window_partition(x, ws).reshape(b, nw, ws * ws, c)
-            xw = attn(xw, mask=mask, deterministic=deterministic)
+            xw = attn(xw, mask=mask, ln=ln_params,
+                      deterministic=deterministic)
             x = window_reverse(xw.reshape(b * nw, ws * ws, c), ws, hp, wp)
             if ss > 0:
                 x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, out_ref, o_scr, *,
-            heads: int, scale: float):
+            heads: int, scale: float, ln_s_ref=None, ln_b_ref=None,
+            ln_eps: float = 1e-5):
     """Processes a CHUNK of ch windows per grid step.
 
     One window per step (grid b*nW) is latency-bound: at Swin-B stage 1
@@ -61,6 +62,18 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     cq = wq_ref.shape[1]
     hd = cq // heads
     x = x_ref[...].reshape(ch * n, c)  # leading-dim collapse only
+
+    if ln_s_ref is not None:
+        # Pre-attention LayerNorm fused in (rows are tokens, so LN
+        # commutes with the window permutation): f32 stats, fast-variance
+        # (E[x²]−E[x]², flax default).  Saves the separate XLA LN's full
+        # HBM round-trip + the f32->bf16 convert per block.
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+        xn = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
+        x = (xn * ln_s_ref[...].astype(jnp.float32)[None]
+             + ln_b_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
 
     # Full-width projections — the MXU-heavy GEMMs with K = C.
     q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
@@ -662,7 +675,8 @@ def _split_weights(wqkv, bqkv, wproj, heads):
 
 
 def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
-              heads, scale, ch, nw, out_dtype):
+              heads, scale, ch, nw, out_dtype, ln=None,
+              ln_eps: float = 1e-5):
     """One forward pallas_call over (possibly head-group-sliced) weights.
 
     xm: (m, n, C) windowed tokens; wq/wk/wv: (C, cq); wp: (cq, C);
@@ -683,6 +697,10 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
     in_specs = [blk, const(wq), const(wk), const(wv), const(bq), const(bk),
                 const(bv), const(wp)]
     args = [xm, wq, wk, wv, bq, bk, bv, wp]
+    has_ln = ln is not None
+    if has_ln:
+        in_specs += [const(ln[0]), const(ln[1])]
+        args += [ln[0], ln[1]]
     if has_bp:
         in_specs.append(const(bproj))
         args.append(bproj)
@@ -700,6 +718,9 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
 
     def kernel(*refs):
         i = 8
+        ln_s_ref = refs[i] if has_ln else None
+        ln_b_ref = refs[i + 1] if has_ln else None
+        i += 2 * int(has_ln)
         bp_ref = refs[i] if has_bp else None
         i += int(has_bp)
         bias_ref = refs[i]
@@ -709,7 +730,8 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
         out_ref = refs[i]
         o_scr = refs[i + 1] if fat else None
         _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, o_scr,
-                heads=heads, scale=scale)
+                heads=heads, scale=scale, ln_s_ref=ln_s_ref,
+                ln_b_ref=ln_b_ref, ln_eps=ln_eps)
 
     flops = 2 * m * (n * c * 3 * cq + 2 * heads * n * n * (cq // heads)
                      + n * cq * c)
@@ -730,7 +752,8 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
     return out
 
 
-def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
+def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
+         ln_eps: float = 1e-5):
     b, nw, n, c = x.shape
     dt = x.dtype
     itemsize = jnp.dtype(dt).itemsize
@@ -743,14 +766,15 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
     if g_count == 1:
         ch = _pick_chunk(nw, n, c, heads, itemsize)
         out = _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
-                        heads, scale, ch, nw, dt)
+                        heads, scale, ch, nw, dt, ln=ln, ln_eps=ln_eps)
         return out.reshape(b, nw, n, c)
 
     # Head-group split (wide stages, e.g. Swin-B stage 3 C=1024): each
     # group's call holds only its weight/bias slices in VMEM and emits an
     # f32 partial of the out-projection sum (concat+proj == sum of
     # per-head projections, so partials just add).  Costs G× extra x
-    # reads — negligible next to the saved 6-D XLA transposes.
+    # reads — negligible next to the saved 6-D XLA transposes.  With ln,
+    # each group recomputes the row LN (VPU-cheap vs an HBM round-trip).
     hpg = heads // g_count
     w = hpg * (c // heads)
     ch = _pick_chunk(nw, n, c, hpg, itemsize, cq=w)
@@ -761,7 +785,8 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
                          bq[sl], bk[sl], bv[sl], wp[sl, :],
                          bproj if gi == 0 else None,
                          bias[gi * hpg:(gi + 1) * hpg], mask,
-                         hpg, scale, ch, nw, jnp.float32)
+                         hpg, scale, ch, nw, jnp.float32, ln=ln,
+                         ln_eps=ln_eps)
         total = part if total is None else total + part
     return total.astype(dt).reshape(b, nw, n, c)
 
@@ -876,3 +901,61 @@ def _vjp_bwd(heads, scale, res, g):
 
 
 fused_window_msa.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def layer_norm_f32(x, scale, bias, eps: float = 1e-5):
+    """Row LayerNorm with f32 stats and fast variance — the exact math the
+    fused kernel applies when ln is fused in (used for its backward
+    recompute and parity tests)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_window_msa_ln(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        bias, mask, heads: int, scale: float,
+                        ln_eps: float = 1e-5):
+    """fused_window_msa with the pre-attention LayerNorm INSIDE the
+    kernel: x is PRE-LN windowed tokens (LN is row-wise, so it commutes
+    with the window permutation — callers partition the raw residual
+    stream and skip the separate XLA LN pass entirely).
+
+    Only valid when windowing needed no spatial padding: the reference
+    pads AFTER LN with zeros, and in-kernel LN of a zero row would yield
+    `ln_bias` instead (callers gate on pad == 0; at 480² only stage 4
+    pads, 15 -> 24)."""
+    return _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
+                ln=(ln_scale, ln_bias), ln_eps=ln_eps)
+
+
+def _vjp_ln_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                mask, heads, scale, ln_eps):
+    out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
+               ln=(ln_scale, ln_bias), ln_eps=ln_eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask)
+
+
+def _vjp_ln_bwd(heads, scale, ln_eps, res, g):
+    """Backward: recompute the (cheap, VPU-bound) LN in XLA and chain
+    through fused_window_msa's own custom VJP — the MSA grads still run
+    the fully fused Pallas backward; LN's backward is the only XLA part.
+    """
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask = res
+
+    def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
+        xn = layer_norm_f32(x, ln_scale, ln_bias, ln_eps)
+        return fused_window_msa(xn, wqkv, bqkv, wproj, bproj, bias, mask,
+                                heads, scale)
+
+    _, vjp = jax.vjp(f, x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                     bias)
+    grads = vjp(g)
+    return grads + (None if mask is None else jnp.zeros_like(mask),)
+
+
+fused_window_msa_ln.defvjp(_vjp_ln_fwd, _vjp_ln_bwd)

@@ -205,3 +205,37 @@ def test_convert_lts_decoder_shapes_and_forward(rng):
                       x4, x3, x2, l, lm)
     assert out.shape[0] == b and out.shape[-1] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resolve_checkpoint_path(tmp_path, monkeypatch):
+    """URL checkpoints fetch into the cache once (reference mmcv
+    load_checkpoint URL path, checkpoint.py:41-80); local paths pass
+    through; model-zoo schemes error with guidance."""
+    import pytest
+
+    from lavt_rs_tpu.convert.torch2jax import resolve_checkpoint_path
+
+    # local path: identity
+    assert resolve_checkpoint_path("/x/y.pth") == "/x/y.pth"
+
+    # URL: fetched via urllib into ~/.cache (fake urlretrieve — no egress)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    calls = []
+
+    def fake_retrieve(url, dst):
+        calls.append(url)
+        with open(dst, "wb") as f:
+            f.write(b"ckpt-bytes")
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    url = "https://example.com/swin_base.pth?dl=1"
+    p1 = resolve_checkpoint_path(url)
+    assert open(p1, "rb").read() == b"ckpt-bytes"
+    assert p1.endswith("swin_base.pth")
+    p2 = resolve_checkpoint_path(url)  # cached: no second fetch
+    assert p1 == p2 and len(calls) == 1
+
+    with pytest.raises(RuntimeError, match="model-zoo"):
+        resolve_checkpoint_path("modelzoo://resnet50")

@@ -448,3 +448,92 @@ def test_fused_msa_padded_grads(rng):
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fused_msa_ln_matches_ref(rng):
+    """In-kernel pre-attention LayerNorm == explicit f32 row-LN + MSA."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (
+        _ref_forward, fused_window_msa_ln, layer_norm_f32)
+
+    b, nw, n, c, h = 2, 3, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * .1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * .1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nw, n, n)) > 0.7, -100.0,
+                                0.0).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_window_msa_ln(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                  bias, mask, h, scale)
+    want = _ref_forward(layer_norm_f32(x, ln_s, ln_b), wqkv, bqkv, wproj,
+                        bproj, bias, mask, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_ln_grads(rng):
+    """The LN-fused VJP (XLA LN backward chained through the fused MSA
+    VJP) matches the all-XLA reference, including d(ln_scale)/d(ln_bias)."""
+    from lavt_rs_tpu.ops.pallas.fused_msa import (
+        _ref_forward, fused_window_msa_ln, layer_norm_f32)
+
+    b, nw, n, c, h = 1, 2, 8, 16, 2
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * .2)
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * .2)
+    bproj = jnp.zeros((c,))
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def loss_p(x, ln_s, ln_b, wqkv, wproj, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_window_msa_ln(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                        bproj, bias, None, h, scale)
+                    ** 2).sum()
+
+    def loss_r(x, ln_s, ln_b, wqkv, wproj, bias):
+        return (_ref_forward(layer_norm_f32(x, ln_s, ln_b), wqkv, bqkv,
+                             wproj, bproj, bias, None, h, scale) ** 2).sum()
+
+    args = (x, ln_s, ln_b, wqkv, wproj, bias)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*args)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_swin_block_ln_in_kernel_matches_xla(rng):
+    """Unpadded SwinBlock routes the pre-attention LN into the fused MSA
+    kernel (ln_in_attn); the result must match the XLA block (separate
+    nn.LayerNorm) on the same variables, shifted and unshifted."""
+    from lavt_rs_tpu.models.swin2d import SwinBlock
+
+    dim, heads, ws, H, W, B = 32, 4, 4, 8, 8, 2
+    for shift in (0, 2):
+        x = jnp.asarray(rng.standard_normal((B, H * W, dim))
+                        .astype(np.float32))
+        blk_x = SwinBlock(dim=dim, num_heads=heads, window_size=ws,
+                          shift_size=shift)
+        v = blk_x.init(jax.random.PRNGKey(0), x, (H, W))
+        want = blk_x.apply(v, x, (H, W))
+        blk_p = SwinBlock(dim=dim, num_heads=heads, window_size=ws,
+                          shift_size=shift, use_pallas=True)
+        with pltpu.force_tpu_interpret_mode():
+            vp = blk_p.init(jax.random.PRNGKey(0), x, (H, W))
+            got = blk_p.apply(v, x, (H, W))
+        # identical trees: LN params created by _LNParams == nn.LayerNorm
+        assert jax.tree_util.tree_structure(vp) == \
+            jax.tree_util.tree_structure(v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
