@@ -75,9 +75,14 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         x = (xn * ln_s_ref[...].astype(jnp.float32)[None]
              + ln_b_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
 
-    # Full-width projections — the MXU-heavy GEMMs with K = C.
+    # Full-width projections — the MXU-heavy GEMMs with K = C.  The f32
+    # accumulate + bias/scale epilogue casts straight back to x.dtype
+    # (bit-identical to casting at the per-head slice, but the RESIDENT
+    # q/k/v arrays are 2-byte — which is what lets _pick_chunk run
+    # bigger chunks and amortize the per-grid-step overhead).
     q_all = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
-    q_all = (q_all + bq_ref[...].astype(jnp.float32)[None]) * scale
+    q_all = ((q_all + bq_ref[...].astype(jnp.float32)[None])
+             * scale).astype(x.dtype)
     k_all = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
     k_all = (k_all + bk_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
     v_all = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
@@ -87,7 +92,7 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     batched = (((2,), (2,)), ((0,), (0,)))  # contract hd, batch chunk
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        q = q_all[:, sl].astype(x.dtype).reshape(ch, n, hd)
+        q = q_all[:, sl].reshape(ch, n, hd)
         k = k_all[:, sl].reshape(ch, n, hd)
         v = v_all[:, sl].reshape(ch, n, hd)
         s = jax.lax.dot_general(q, k, batched,
@@ -623,17 +628,19 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
     stays at 6 MB (chunk 10) for deterministic compiles."""
     cq = c if cq is None else cq
     best = 1
+    budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "6"))
     for ch in range(1, nw + 1):
         if nw % ch or not _chunk_ok(ch, n, itemsize):
             continue
         buf = (ch * n * c * itemsize          # x block
-               + 3 * ch * n * cq * 4          # q f32 + k/v (pre-cast peak)
+               + 3 * ch * n * cq * itemsize   # q/k/v (cast in the GEMM
+               #   epilogue — resident at x.dtype, f32 only per-tile)
                + ch * n * n * 4               # one head's scores
                + (ch * n * cq * itemsize      # o concat scratch
                   if _use_fat_gemm(cq) else 0)
                + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
-        if buf <= 6 * 1024 * 1024:
+        if buf <= budget_mb * 1024 * 1024:
             best = ch
     return best
 

@@ -146,17 +146,21 @@ def _axis_onehot(w: int) -> np.ndarray:
 def relative_bias_from_table(table, wh: int, ww: int):
     """(h, N, N) relative-position bias from a ((2Wh-1)(2Ww-1), h) table.
 
-    Forward: the plain gather table[relative_position_index_2d] (fast on
-    TPU). Backward: the gather's transpose is a scatter-add, which is slow
-    on TPU (~3.5 ms/step over Swin-B's 24 tables at bs 8) — instead the
-    cotangent is contracted against two tiny one-hot axis constants on the
-    MXU (the relative-position map is separable per axis). HIGHEST
-    precision keeps the one-hot contraction bit-exact."""
-    idx = relative_position_index_2d(wh, ww)
-    n = wh * ww
+    Forward: separable one-hot contraction on the MXU instead of a gather
+    — the relative-position map factors per axis, and each output element
+    has EXACTLY one nonzero (e1, e2) pair, so the matmul is bit-exact
+    while the equivalent gather measured ~17x off HBM roofline on v5e
+    (0.63 ms/step across Swin-B's 24 tables at bs 8, plus layout-copy
+    fusions XLA wrapped around it). Backward: same trick on the cotangent
+    (the gather's scatter-add transpose cost 3.5 ms/step)."""
     heads = table.shape[-1]
-    bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
-    return bias.transpose(2, 0, 1)
+    e1 = jnp.asarray(_axis_onehot(wh))  # (2wh-1, wh, wh)
+    e2 = jnp.asarray(_axis_onehot(ww))
+    t3 = table.reshape(2 * wh - 1, 2 * ww - 1, heads)
+    bias5 = jnp.einsum("uik,vjl,uvh->ijklh", e1, e2, t3,
+                       precision=jax.lax.Precision.HIGHEST)
+    n = wh * ww
+    return bias5.reshape(n, n, heads).transpose(2, 0, 1)
 
 
 def _bias_vjp_fwd(table, wh, ww):
@@ -259,8 +263,22 @@ def relative_bias_from_table_3d(table, wd: int, wh: int, ww: int, n: int):
     TPU (~17 ms/step over video Swin-T's 12 tables); instead the cotangent
     is zero-padded to the full window and contracted against three tiny
     one-hot axis constants on the MXU (the map is separable per axis)."""
-    idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
     heads = table.shape[-1]
+    nf = wd * wh * ww
+    if n == nf:
+        # separable one-hot contraction (exact; gathers are slow on TPU —
+        # see relative_bias_from_table)
+        ed = jnp.asarray(_axis_onehot(wd))
+        eh = jnp.asarray(_axis_onehot(wh))
+        ew = jnp.asarray(_axis_onehot(ww))
+        t4 = table.reshape(2 * wd - 1, 2 * wh - 1, 2 * ww - 1, heads)
+        hp = jax.lax.Precision.HIGHEST
+        b7 = jnp.einsum("uad,vbe,wcf,uvwh->abcdefh", ed, eh, ew, t4,
+                        precision=hp)
+        return b7.reshape(nf, nf, heads).transpose(2, 0, 1)
+    # clamped window ([:n, :n] truncation): keep the gather — the einsum
+    # would compute the full nf² bias just to slice it
+    idx = relative_position_index_3d(wd, wh, ww)[:n, :n]
     bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
     return bias.transpose(2, 0, 1)
 

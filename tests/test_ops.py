@@ -227,3 +227,30 @@ def test_partition_shifted_matches_roll_partition(rng):
         np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
         back = reverse_shifted(got_w, ws, ss, hp, wp)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_bias_einsum_matches_gather(rng):
+    """The separable one-hot forward must equal the index gather EXACTLY
+    (each output has a single nonzero term), 2D and 3D incl. clamp."""
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.ops.window import (
+        relative_bias_from_table, relative_bias_from_table_3d,
+        relative_position_index_2d, relative_position_index_3d)
+
+    t = jnp.asarray(rng.standard_normal((13 * 13, 4)).astype(np.float32))
+    got = relative_bias_from_table(t, 7, 7)
+    idx = relative_position_index_2d(7, 7)
+    want = np.asarray(t)[idx.reshape(-1)].reshape(49, 49, 4
+                                                  ).transpose(2, 0, 1)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    t3 = jnp.asarray(rng.standard_normal((3 * 5 * 5, 2)).astype(np.float32))
+    got3 = relative_bias_from_table_3d(t3, 2, 3, 3, 18)  # full n
+    idx3 = relative_position_index_3d(2, 3, 3)
+    want3 = np.asarray(t3)[idx3.reshape(-1)].reshape(18, 18, 2
+                                                     ).transpose(2, 0, 1)
+    np.testing.assert_array_equal(np.asarray(got3), want3)
+    # clamped n keeps the gather path
+    got3c = relative_bias_from_table_3d(t3, 2, 3, 3, 12)
+    np.testing.assert_array_equal(np.asarray(got3c), want3[:, :12, :12])
