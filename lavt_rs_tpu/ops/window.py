@@ -64,9 +64,15 @@ def _shifted_partition_idx_np(hp: int, wp: int, ws: int, ss: int):
     return fwd, inv
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
     """(B, Hp, Wp, C) -> (B, nW, ws*ws, C): cyclic shift by -ss on both
-    spatial axes + window partition, as one static gather."""
+    spatial axes + window partition, as one static gather.
+
+    custom VJP: the indices are a PERMUTATION, so the gather's transpose
+    is the inverse gather — jnp.take's default autodiff transpose is a
+    scatter-add, which is slow on TPU and would have regressed training.
+    """
     b, hp, wp, c = x.shape
     fwd, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
     nw = (hp // ws) * (wp // ws)
@@ -74,13 +80,38 @@ def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
                     axis=1).reshape(b, nw, ws * ws, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def reverse_shifted(xw: jnp.ndarray, ws: int, ss: int,
                     hp: int, wp: int) -> jnp.ndarray:
-    """Inverse of partition_shifted: (B, nW, ws*ws, C) -> (B, Hp, Wp, C)."""
+    """Inverse of partition_shifted: (B, nW, ws*ws, C) -> (B, Hp, Wp, C).
+    Same permutation argument for the custom VJP."""
     b, nw, n, c = xw.shape
     _, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
     return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
                     axis=1).reshape(b, hp, wp, c)
+
+
+def _partition_shifted_fwd(x, ws, ss):
+    return partition_shifted(x, ws, ss), x.shape
+
+
+def _partition_shifted_bwd(ws, ss, shape, g):
+    b, hp, wp, c = shape
+    return (reverse_shifted(g, ws, ss, hp, wp),)
+
+
+partition_shifted.defvjp(_partition_shifted_fwd, _partition_shifted_bwd)
+
+
+def _reverse_shifted_fwd(xw, ws, ss, hp, wp):
+    return reverse_shifted(xw, ws, ss, hp, wp), None
+
+
+def _reverse_shifted_bwd(ws, ss, hp, wp, _, g):
+    return (partition_shifted(g, ws, ss),)
+
+
+reverse_shifted.defvjp(_reverse_shifted_fwd, _reverse_shifted_bwd)
 
 
 @functools.lru_cache(maxsize=64)

@@ -254,3 +254,33 @@ def test_relative_bias_einsum_matches_gather(rng):
     # clamped n keeps the gather path
     got3c = relative_bias_from_table_3d(t3, 2, 3, 3, 12)
     np.testing.assert_array_equal(np.asarray(got3c), want3[:, :12, :12])
+
+
+def test_partition_shifted_grads_are_inverse_permutation(rng):
+    """The custom VJPs (inverse gather, not scatter-add) must equal the
+    roll+transpose formulation's gradients exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.ops.window import (partition_shifted, reverse_shifted,
+                                        window_partition, window_reverse)
+
+    hp, wp, ws, ss, c = 24, 24, 12, 6, 5
+    x = jnp.asarray(rng.standard_normal((2, hp, wp, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 4, ws * ws, c)), jnp.float32)
+    nw = (hp // ws) * (wp // ws)
+
+    def f_new(x):
+        xw = partition_shifted(x, ws, ss)
+        return (reverse_shifted(xw * w, ws, ss, hp, wp) ** 2).sum()
+
+    def f_ref(x):
+        r = jnp.roll(x, (-ss, -ss), (1, 2))
+        xw = window_partition(r, ws).reshape(2, nw, ws * ws, c)
+        y = window_reverse((xw * w).reshape(2 * nw, ws * ws, c), ws, hp, wp)
+        return (jnp.roll(y, (ss, ss), (1, 2)) ** 2).sum()
+
+    g_new = jax.grad(f_new)(x)
+    g_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
