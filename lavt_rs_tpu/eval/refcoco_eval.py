@@ -98,6 +98,16 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
     if out_stream is None:  # resolve at call time, not import time
         out_stream = sys.stderr
     metrics = SegMetrics()
+    try:
+        # Inference-prep: precompute the param-only rel-pos bias
+        # expansions once for the whole eval (~0.6 ms/apply at Swin-B).
+        # RefCOCO eval models are 2D; anything the tree-walk can't factor
+        # (no tables, 3D tables) just runs unfolded.
+        from .fold import fold_rel_pos_bias_2d
+        variables = fold_rel_pos_bias_2d(variables)
+    except (ValueError, KeyError, TypeError):
+        # no/odd params tree (stub model_apply in tests), 3D tables, ...
+        pass
     fwd_iou = _fwd_iou_for(model_apply)
 
     # one fixed sentence count -> one compile for the whole eval

@@ -63,8 +63,16 @@ class WindowAttention3D(nn.Module):
             "relative_position_bias_table", trunc_normal_init,
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
         # gather forward / separable one-hot backward (the scatter-add
-        # transpose of the gather is very slow on TPU)
-        bias = relative_bias_from_table_3d(table, wd, wh, ww, n)
+        # transpose of the gather is very slow on TPU).  Inference folding
+        # as in the 2D module; the shape guard covers a fold taken at a
+        # different clamped window (n differs per input dims).
+        if (self.has_variable("folded", "rel_pos_bias")
+                and self.get_variable("folded", "rel_pos_bias").shape[1] == n):
+            bias = self.get_variable("folded", "rel_pos_bias")
+        else:
+            bias = relative_bias_from_table_3d(table, wd, wh, ww, n)
+            if self.is_mutable_collection("folded"):
+                self.put_variable("folded", "rel_pos_bias", bias)
 
         scale = self.qk_scale if self.qk_scale is not None else (c // h) ** -0.5
 

@@ -616,21 +616,42 @@ def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
 
 def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
-                cq: Optional[int] = None) -> int:
-    """Largest divisor of nw whose per-step VMEM footprint stays under a
-    ~6 MB budget (16 MB VMEM minus weights, bias, and double-buffering).
-    cq: the q/k/v width covered by the call (== c without head-group
-    splitting).
+                cq: Optional[int] = None, m: Optional[int] = None,
+                masked: bool = True) -> int:
+    """Largest window-chunk size whose per-step VMEM footprint stays under
+    the LAVT_MSA_VMEM_MB budget (16 MB VMEM minus weights, bias, and
+    double-buffering).  cq: the q/k/v width covered by the call (== c
+    without head-group splitting).
 
-    The budget is empirical: at Swin-B stage 1 (n=144, c=128) chunk 20
-    (est. ~10 MB) lands at 16.52 MB scoped-vmem — right at the 16 MB
-    limit, compiling on some runs and OOMing on others — so the budget
-    stays at 6 MB (chunk 10) for deterministic compiles."""
+    Chunk candidates must divide the GRID total m = B*nW (default: nw, the
+    per-image window count, for backward compatibility).  An unmasked
+    (non-shifted) block has no per-image mask lookup, so ANY divisor of m
+    works — at Swin-B 480² stage 3 that takes the chunk from 3 (largest
+    divisor of nW=9 that fits) to 8, i.e. 24 -> 9 grid steps per block.
+    A masked (shifted) block's chunk must additionally keep the mask
+    lookup well-defined: either inside one image (nw % ch == 0, mask
+    block = a slice of the (nW, N, N) mask) or covering WHOLE images
+    (ch % nw == 0, mask pre-tiled to (ch, N, N), constant index map —
+    see _fwd_call).
+
+    The 6 MB default was empirical against f32-resident q/k/v (chunk 20
+    at Swin-B stage 1 landed at 16.52 MB scoped and OOMed on some runs);
+    with the bf16-resident q/k/v the measured e2e optimum moved to 8 MB
+    (231 -> 238 img/s bs 8; 10/12 MB measured no further gain and risk
+    the scoped limit), which is the new default."""
     cq = c if cq is None else cq
+    m = nw if m is None else m
     best = 1
-    budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "6"))
-    for ch in range(1, nw + 1):
-        if nw % ch or not _chunk_ok(ch, n, itemsize):
+    budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "8"))
+    # Weights + f32 bias resident across the grid.  The buf<=budget rule
+    # was calibrated WITHOUT this term (on within-image candidates), so it
+    # only gates the NEW cross-image candidates below; counting it for the
+    # legacy ones would dislodge measured-good picks (e.g. stage-1 ch=20).
+    fixed = (3 * c * cq + cq * c) * itemsize + heads * n * n * 4
+    for ch in range(1, m + 1):
+        if m % ch or not _chunk_ok(ch, n, itemsize):
+            continue
+        if masked and not (nw % ch == 0 or ch % nw == 0):
             continue
         buf = (ch * n * c * itemsize          # x block
                + 3 * ch * n * cq * itemsize   # q/k/v (cast in the GEMM
@@ -640,8 +661,16 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                   if _use_fat_gemm(cq) else 0)
                + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
-        if buf <= budget_mb * 1024 * 1024:
-            best = ch
+        if buf > budget_mb * 1024 * 1024:
+            continue
+        if nw % ch and buf + fixed > (budget_mb + 0.5) * 1024 * 1024:
+            # cross-image candidate (not covered by the legacy
+            # calibration): count the resident weights/bias too.  The
+            # compiler's true scoped usage runs ~2x this estimate
+            # (Swin-B stage-3 ch=6 est 10.5 MB scoped 16.46 MB OOM),
+            # so the margin here is deliberately thin.
+            continue
+        best = ch
     return best
 
 
@@ -714,14 +743,23 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
     in_specs.append(const(bias))
     args.append(bias)
     if has_mask:
-        # chunk i covers windows [i*ch, (i+1)*ch) of image i*ch//nw; since
-        # ch | nw the chunk never crosses an image, and its in-image window
-        # offset is (i mod nw//ch) in block units.
-        per_img = nw // ch
-        in_specs.append(pl.BlockSpec((ch, n, n),
-                                     lambda i: (i % per_img, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(mask)
+        if ch % nw == 0:
+            # chunk covers WHOLE images: every chunk sees the same
+            # (ch, n, n) mask — pre-tile the per-image mask and use a
+            # constant index map (Mosaic keeps it VMEM-resident).
+            args.append(jnp.tile(mask, (ch // nw, 1, 1)))
+            in_specs.append(pl.BlockSpec((ch, n, n),
+                                         lambda i: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            # chunk i covers windows [i*ch, (i+1)*ch) of image i*ch//nw;
+            # since ch | nw the chunk never crosses an image, and its
+            # in-image window offset is (i mod nw//ch) in block units.
+            per_img = nw // ch
+            in_specs.append(pl.BlockSpec((ch, n, n),
+                                         lambda i: (i % per_img, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(mask)
 
     def kernel(*refs):
         i = 8
@@ -771,7 +809,8 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
 
     g_count = _pick_fwd_groups(nw, n, c, heads, itemsize)
     if g_count == 1:
-        ch = _pick_chunk(nw, n, c, heads, itemsize)
+        ch = _pick_chunk(nw, n, c, heads, itemsize, m=m,
+                         masked=mask is not None)
         out = _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
                         heads, scale, ch, nw, dt, ln=ln, ln_eps=ln_eps)
         return out.reshape(b, nw, n, c)
@@ -784,7 +823,8 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
     # each group recomputes the row LN (VPU-cheap vs an HBM round-trip).
     hpg = heads // g_count
     w = hpg * (c // heads)
-    ch = _pick_chunk(nw, n, c, hpg, itemsize, cq=w)
+    ch = _pick_chunk(nw, n, c, hpg, itemsize, cq=w, m=m,
+                     masked=mask is not None)
     total = None
     for gi in range(g_count):
         sl = slice(gi * w, (gi + 1) * w)

@@ -66,3 +66,19 @@ def test_bf16_forward_runs(tiny_setup):
     assert out.shape == (2, 64, 64, 2)
     assert out.dtype == jnp.float32  # final logits upcast for the resize
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_folded_bias_matches_unfolded(tiny_setup):
+    """fold_inference_variables precomputes the rel-pos biases into a
+    'folded' collection; the folded apply must be numerically identical
+    (the stored tensor IS the per-apply expansion's output)."""
+    from lavt_rs_tpu.eval.fold import fold_inference_variables
+
+    cfg, model, variables, args = tiny_setup
+    folded = fold_inference_variables(model, variables, *args)
+    assert "folded" in folded
+    leaves = jax.tree_util.tree_leaves(folded["folded"])
+    assert leaves and all(lf.ndim == 3 for lf in leaves)  # (h, N, N) each
+    want = np.asarray(model.apply(variables, *args))
+    got = np.asarray(model.apply(folded, *args))
+    np.testing.assert_array_equal(got, want)
