@@ -99,6 +99,25 @@ class _LNParams(nn.Module):
                            jnp.float32))
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching nn.Conv's tree layout (kernel/bias) —
+    same shapes and initializers, so checkpoints are interchangeable with
+    the nn.Conv formulation."""
+
+    features: int
+    ksize: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.ksize + (self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class _MlpParams(nn.Module):
     """Parameter container matching Mlp's tree (fc1/fc2 Dense)."""
 
@@ -352,8 +371,21 @@ class PatchEmbed(nn.Module):
         pad_r = (ps - w % ps) % ps
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
-                    dtype=self.dtype, name="proj")(x)
+        # Stride-ps VALID conv == space-to-depth + (ps*ps*Cin -> C) matmul.
+        # XLA's conv ran at ~7 TFLOP/s here (Cin=3 leaves 125/128 MXU
+        # lanes idle and forces an f32 layout copy of the whole image —
+        # 0.74 ms/step at 480² bs 8); the explicit form does one bf16
+        # transpose copy and a K=48 GEMM.  Param tree identical to
+        # nn.Conv (proj/kernel (ps, ps, Cin, C) + proj/bias).
+        b, hp, wp, cin = x.shape
+        kernel, bias = _ConvParams(self.embed_dim, (ps, ps), cin,
+                                   name="proj")()
+        oh, ow = hp // ps, wp // ps
+        xd = x.astype(self.dtype).reshape(b, oh, ps, ow, ps, cin)
+        xd = xd.transpose(0, 1, 3, 2, 4, 5).reshape(b, oh, ow, ps * ps * cin)
+        x = (jnp.dot(xd, kernel.reshape(ps * ps * cin,
+                                        self.embed_dim).astype(self.dtype))
+             + bias.astype(self.dtype))
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

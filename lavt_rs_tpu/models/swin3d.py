@@ -195,8 +195,21 @@ class PatchEmbed3D(nn.Module):
         pads = [(0, (p - s % p) % p) for p, s in ((pd, d), (ph, h), (pw, w))]
         if any(p[1] for p in pads):
             x = jnp.pad(x, ((0, 0), *pads, (0, 0)))
-        x = nn.Conv(self.embed_dim, self.patch_size, strides=self.patch_size,
-                    padding="VALID", dtype=self.dtype, name="proj")(x)
+        # Space-to-depth + matmul instead of conv3d, for the same reason
+        # as the 2D PatchEmbed (Cin=3 starves the MXU; see swin2d.py).
+        # Param tree identical to nn.Conv (proj/kernel (pd,ph,pw,Cin,C)).
+        b = x.shape[0]
+        dd, hh, ww, cin = x.shape[1] // pd, x.shape[2] // ph, \
+            x.shape[3] // pw, x.shape[4]
+        from .swin2d import _ConvParams
+        kernel, bias = _ConvParams(self.embed_dim, self.patch_size, cin,
+                                   name="proj")()
+        xd = x.astype(self.dtype).reshape(b, dd, pd, hh, ph, ww, pw, cin)
+        xd = xd.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, dd, hh, ww, pd * ph * pw * cin)
+        x = (jnp.dot(xd, kernel.reshape(pd * ph * pw * cin,
+                                        self.embed_dim).astype(self.dtype))
+             + bias.astype(self.dtype))
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
