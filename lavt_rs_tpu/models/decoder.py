@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -52,6 +53,20 @@ class HeadConv1x1(nn.Module):
         return jnp.einsum("bhwc,ck->bhwk", x.astype(self.dtype), k) + b
 
 
+class _ConvKernel(nn.Module):
+    """Parameter container matching nn.Conv(use_bias=False)'s tree."""
+
+    features: int
+    ksize: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.ksize, self.ksize, self.in_features,
+                           self.features), jnp.float32)
+
+
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
@@ -59,9 +74,28 @@ class ConvBNReLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+    def __call__(self, x, x2=None):
+        """x2: optional second input — semantically conv(concat([x, x2],
+        -1)) but computed as conv_a(x) + conv_b(x2) with the kernel split
+        along input channels.  Same math (a 3x3 conv is linear in its
+        input channels), same param tree, but the (B, H, W, Ca+Cb)
+        concat never hits HBM — at the decoder's 120² stage that concat
+        measured 0.42 ms/step (bs 8) of pure bandwidth."""
+        if x2 is None:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
+        else:
+            ca = x.shape[-1]
+            kern = _ConvKernel(self.features, self.kernel,
+                               ca + x2.shape[-1], name="conv")()
+            dn = ("NHWC", "HWIO", "NHWC")
+            conv = lambda inp, k: jax.lax.conv_general_dilated(
+                inp.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                "SAME", dimension_numbers=jax.lax.conv_dimension_numbers(
+                    inp.shape, k.shape, dn),
+                preferred_element_type=jnp.float32)
+            x = (conv(x, kern[:, :, :ca]) + conv(x2, kern[:, :, ca:])
+                 ).astype(self.dtype)
         x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
@@ -97,23 +131,20 @@ class SimpleDecoding(nn.Module):
                                  exact=False)
             return x
 
-        x = jnp.concatenate([up_to(x_c4, x_c3), x_c3], axis=-1)
         x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
-                       name="fuse4_a")(x)
+                       name="fuse4_a")(up_to(x_c4, x_c3), x_c3)
         x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
                        name="fuse4_b")(x)
 
-        x = jnp.concatenate([up_to(x, x_c2), x_c2], axis=-1)
         x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
-                       name="fuse3_a")(x)
+                       name="fuse3_a")(up_to(x, x_c2), x_c2)
         x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
                        name="fuse3_b")(x)
 
         if not self.lazy_pred:
             assert x_c1 is not None
-            x = jnp.concatenate([up_to(x, x_c1), x_c1], axis=-1)
             x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
-                           name="fuse2_a")(x)
+                           name="fuse2_a")(up_to(x, x_c1), x_c1)
             x = ConvBNReLU(hidden, train=self.train, dtype=self.dtype,
                            name="fuse2_b")(x)
 

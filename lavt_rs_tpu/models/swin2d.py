@@ -118,6 +118,30 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _StageNorm(nn.Module):
+    """Stage-output LayerNorm with the same param tree as nn.LayerNorm
+    (scale/bias) but routed through the one-pass Pallas row-LN kernel
+    (ops/pallas/ln.py) when available — XLA's two-pass decomposition
+    measured ~5x off HBM roofline at (B*L, 128..512) (profile_infer)."""
+
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        rows = int(np.prod(x.shape[:-1]))
+        from ..ops.pallas.ln import (layer_norm_rows,
+                                     layer_norm_rows_supported)
+        if self.use_pallas and layer_norm_rows_supported(rows, c):
+            return layer_norm_rows(x.reshape(rows, c), scale,
+                                   bias).reshape(x.shape)
+        from ..ops.pallas.fused_msa import layer_norm_f32
+        return layer_norm_f32(x, scale, bias)
+
+
 class _MlpParams(nn.Module):
     """Parameter container matching Mlp's tree (fc1/fc2 Dense)."""
 
@@ -588,8 +612,9 @@ class SwinTransformer(nn.Module):
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layers_{i}")(x, hw, deterministic=deterministic)
             if i in self.out_indices:
-                x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                     name=f"norm{i}")(x_out)
+                x_out = _StageNorm(use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
+                                   name=f"norm{i}")(x_out)
                 outs.append(x_out.reshape(b, hw[0], hw[1],
                                           cfg.num_features[i]))
             hw = next_hw
@@ -651,8 +676,9 @@ class MultiModalSwinTransformer(nn.Module):
             x_out, x, next_hw = layer(x, hw, l, l_mask,
                                       deterministic=deterministic)
             if i in self.out_indices:
-                x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                     name=f"norm{i}")(x_out)
+                x_out = _StageNorm(use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
+                                   name=f"norm{i}")(x_out)
                 outs.append(x_out.reshape(b, hw[0], hw[1],
                                           cfg.num_features[i]))
             hw = next_hw

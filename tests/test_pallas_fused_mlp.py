@@ -296,3 +296,51 @@ def test_fwd_falls_back_when_no_legal_row_block(rng):
     ref = _ref_forward(x, g, be, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_rows_matches_flax(rng):
+    import flax.linen as nn
+
+    from lavt_rs_tpu.ops.pallas.ln import layer_norm_rows
+
+    rows, c = 48, 128
+    x = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+
+    ln = nn.LayerNorm(epsilon=1e-5)
+    want = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = layer_norm_rows(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_rows_grads_match_xla(rng):
+    from lavt_rs_tpu.ops.pallas.ln import layer_norm_rows
+
+    rows, c = 32, 128
+    x = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal((c,)).astype(
+        np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal((c,)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((rows, c)).astype(np.float32))
+
+    def ref_ln(x, s, b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, 1, keepdims=True)
+        var = jnp.mean(xf * xf, 1, keepdims=True) - mu * mu
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-5) * s[None] + b[None]
+
+    def loss_p(x, s, b):
+        return (layer_norm_rows(x, s, b) * w).sum()
+
+    def loss_x(x, s, b):
+        return (ref_ln(x, s, b) * w).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
