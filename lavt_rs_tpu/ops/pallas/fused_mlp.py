@@ -79,21 +79,30 @@ def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
 
 def _pick_rows(m: int, c: int, hidden: int, itemsize: int) -> int:
     """Largest divisor of m whose footprint (x + xn + h f32 + out, double-
-    buffered x/out) fits a ~6 MB budget.
+    buffered x/out, plus the VMEM-resident w1/w2) fits a ~12 MB budget.
+
+    The per-step GEMM at narrow stages is tiny (Swin-B stage 1: a
+    (1600, 128) block is ~0.4 GFLOP ≈ 2 us at peak), so the grid-step
+    fixed cost dominates — the budget counts the resident weights so
+    narrow stages (small weights) get the large row blocks they can
+    afford while wide stages (Swin-B stage 3: 4.2 MB of weights) keep
+    their measured-safe chunks.
 
     Sub-full blocks must have a sublane dim divisible by 8 (Mosaic (8, 128)
     tiling); when m has no such divisor (e.g. m = 2700 rows from an
     sp=3-sentence eval batch at 30x30 tokens) returns 0 and the caller
     falls back to the XLA chain — a (1, C) block is NOT legal."""
     best = 0
-    for tc in range(1, min(m, 2048) + 1):
+    weights = 2 * c * hidden * itemsize
+    budget = 12 * 1024 * 1024 - weights
+    for tc in range(1, min(m, 8192) + 1):
         if m % tc or (tc != m and tc % 8):
             continue
         buf = (2 * tc * c * itemsize      # x + out (double-buffered pair)
                + tc * c * 4               # xn f32
                + tc * hidden * 4          # h f32
                + tc * c * 4)              # residual accum f32
-        if buf <= 6 * 1024 * 1024:
+        if buf <= budget:
             best = tc
     return best
 

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-            wp_ref, bp_ref, bias_ref, mask_ref, out_ref, o_scr, *,
+            wp_ref, bp_ref, bias_ref, mask_ref, out_ref, fat, *,
             heads: int, scale: float, ln_s_ref=None, ln_b_ref=None,
             ln_eps: float = 1e-5):
     """Processes a CHUNK of ch windows per grid step.
@@ -106,19 +106,22 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        if o_scr is not None:
-            # concat heads via lane-slice stores, then one fat K=C
+        if fat:
+            # concat heads via lane-slice stores INTO OUT_REF's block
+            # (reused as scratch — its (ch, n, C) VMEM is dead until the
+            # final store, and dropping the separate (ch*n, cq) buffer
+            # was worth ~0.9 MB at Swin-B stage 3, the margin that lets
+            # chunk 6 fit the 16 MB scoped limit), then one fat K=C
             # projection GEMM after the loop (per-head K=hd=32 dots are
             # ~4× under the MXU's 128 systolic edge).  Measured win at
-            # C>=256; at C=128 the scratch shrinks the chunk instead —
-            # there the per-head sum stays (see _use_fat_gemm).
-            o_scr[:, sl] = o.astype(x.dtype).reshape(ch * n, hd)
+            # C>=256; at C=128 the per-head sum stays (see _use_fat_gemm).
+            out_ref[:, :, sl] = o.astype(out_ref.dtype)
         else:
             y = y + jnp.dot(o.astype(x.dtype).reshape(ch * n, hd),
                             wp_ref[sl, :], preferred_element_type=jnp.float32)
-    if o_scr is not None:
-        y = jnp.dot(o_scr[...], wp_ref[...],
-                    preferred_element_type=jnp.float32)
+    if fat:
+        o_cat = out_ref[...][:, :, :cq].reshape(ch * n, cq).astype(x.dtype)
+        y = jnp.dot(o_cat, wp_ref[...], preferred_element_type=jnp.float32)
     if bp_ref is not None:  # None for head-groups > 0 (bias added once)
         y = y + bp_ref[...].astype(jnp.float32)[None]
     out_ref[...] = y.reshape(ch, n, c).astype(out_ref.dtype)
@@ -524,7 +527,17 @@ def fused_msa_routed(nw: int, n: int, c: int, heads: int,
     (window-7 2D n=49, video (8,7,7) n=392) is forced to chunk-of-1
     grids, which measured SLOWER than the XLA / attention-core path
     (tools/bench_msa_chunk1.py, v5e: n=49 fwd 0.2-0.5x XLA, n=392
-    fwd+bwd ~0.8x), so those stay unrouted even though they compile."""
+    fwd+bwd ~0.8x), so those stay unrouted even though they compile.
+
+    LAVT_FUSED_MSA is the per-stage A/B hatch (read per call, like
+    LAVT_FUSED_PADDED): "all"/unset keeps this measured policy; "off"
+    routes nothing; a comma list of channel widths (e.g. "512,1024")
+    routes only those widths."""
+    env = os.environ.get("LAVT_FUSED_MSA", "all")
+    if env in ("off", "0"):
+        return False
+    if env not in ("all", "") and str(c) not in env.split(","):
+        return False
     return _sublane_ok(n, itemsize) and fused_msa_supported(
         nw, n, c, heads, itemsize)
 
@@ -641,6 +654,23 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
     the scoped limit), which is the new default."""
     cq = c if cq is None else cq
     m = nw if m is None else m
+    # Per-width chunk override for A/B tuning: "512=6,128=40" forces those
+    # chunks (when they divide the grid and keep the mask lookup legal)
+    # instead of the VMEM estimate.  The estimator's cross-image gate is
+    # deliberately conservative (true scoped usage runs ~2x the estimate);
+    # this is the measured escape hatch.
+    env = os.environ.get("LAVT_MSA_CHUNK", "")
+    if env:
+        for part in env.split(","):
+            try:
+                wc, chs = part.split("=")
+                if int(wc) == c:
+                    ch = int(chs)
+                    if m % ch == 0 and _chunk_ok(ch, n, itemsize) and (
+                            not masked or nw % ch == 0 or ch % nw == 0):
+                        return ch
+            except ValueError:
+                continue
     best = 1
     budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "8"))
     # Weights + f32 bias resident across the grid.  The buf<=budget rule
@@ -657,8 +687,8 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                + 3 * ch * n * cq * itemsize   # q/k/v (cast in the GEMM
                #   epilogue — resident at x.dtype, f32 only per-tile)
                + ch * n * n * 4               # one head's scores
-               + (ch * n * cq * itemsize      # o concat scratch
-                  if _use_fat_gemm(cq) else 0)
+               # (fat-GEMM head concat reuses out_ref's block — no
+               #  separate scratch since the out-ref-as-scratch change)
                + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
         if buf > budget_mb * 1024 * 1024:
@@ -773,8 +803,7 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
         mask_ref = refs[i] if has_mask else None
         i += int(has_mask)
         out_ref = refs[i]
-        o_scr = refs[i + 1] if fat else None
-        _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, o_scr,
+        _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, fat,
                 heads=heads, scale=scale, ln_s_ref=ln_s_ref,
                 ln_b_ref=ln_b_ref, ln_eps=ln_eps)
 
@@ -787,8 +816,6 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
         out_specs=pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n, c), out_dtype),
-        scratch_shapes=([pltpu.VMEM((ch * n, cq), dt)]  # o concat
-                        if fat else []),
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=m * heads * n * n,
             bytes_accessed=2 * xm.size * dt.itemsize
