@@ -117,8 +117,12 @@ def main():
             # Inference-prep: precompute the 24 rel-pos bias expansions
             # once (they are param-only; recomputing them inside every
             # jitted apply measured ~0.6 ms/step at bs 8).
-            from lavt_rs_tpu.eval.fold import fold_rel_pos_bias_2d
+            from lavt_rs_tpu.eval.fold import (cast_matmul_params_bf16,
+                                               fold_rel_pos_bias_2d)
             variables = fold_rel_pos_bias_2d(variables)
+            # bf16 model: pre-cast matmul weights once (bit-identical;
+            # saves the per-step f32->bf16 weight-convert passes)
+            variables = cast_matmul_params_bf16(variables)
 
         fwd_sum = jax.jit(lambda v, *a: model.apply(v, *a).sum())
         t0 = time.perf_counter()

@@ -131,7 +131,8 @@ def main(argv=None):
     summary = evaluate(lambda v, *a: model.apply(v, *a), variables, ds,
                        max_items=args.max_items or None,
                        image_dtype=(jnp.bfloat16
-                                    if cfg.dtype == "bfloat16" else None))
+                                    if cfg.dtype == "bfloat16" else None),
+                       cast_bf16=cfg.dtype == "bfloat16")
     print(summary)
 
     if args.save_vis:

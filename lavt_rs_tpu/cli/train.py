@@ -412,7 +412,8 @@ def main(argv=None):
             summary = evaluate(eval_apply, eval_vars, val_ds, log_every=0,
                                image_dtype=(jnp.bfloat16
                                             if cfg.dtype == "bfloat16"
-                                            else None))
+                                            else None),
+                               cast_bf16=cfg.dtype == "bfloat16")
             tag = (f"mIoU_{summary['mIoU']:.2f}"
                    f"_oIoU_{summary['oIoU']:.2f}")
         elif do_eval and video and val_ds is not None:

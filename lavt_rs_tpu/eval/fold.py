@@ -85,3 +85,48 @@ def fold_rel_pos_bias_2d(variables):
         return out
 
     return {**variables, "folded": walk(variables["params"])}
+
+
+def cast_matmul_params_bf16(variables):
+    """Pre-cast the big matmul weights to bf16 for bf16 inference.
+
+    Under ``dtype=bfloat16`` every flax Dense/Conv/Embed casts its f32
+    kernel to bf16 inside EVERY jitted apply — for Swin-B + BERT-base
+    that is ~110M params of f32 reads + bf16 writes per step (~0.7 ms
+    on v5e, batch-independent; the weight-convert fusions dominated the
+    top-level tail in tools/profile_infer.py).  Casting once here is
+    bit-identical: bf16(w) == bf16(bf16(w)), and the compute path
+    consumes the bf16 value either way.
+
+    Only >=2-D ``params`` leaves are cast (kernels, attention/MLP weight
+    matrices, embedding tables).  Kept in f32:
+
+    - 1-D leaves (biases, LN/BN scales): the fused Pallas kernels add
+      these in f32 (``b*_ref[...].astype(f32)``), so casting them WOULD
+      change numerics;
+    - ``relative_position_bias_table`` (feeds the f32 bias expansion)
+      and ``absolute_pos_embed`` (bicubic-resized in f32 before cast);
+    - every non-``params`` collection (batch_stats, folded biases).
+
+    Training must NOT use this (f32 master weights live in the optimizer
+    contract); it is inference-prep like fold_rel_pos_bias_2d.
+    """
+    from collections.abc import Mapping
+
+    import jax.numpy as jnp
+
+    keep_names = {"relative_position_bias_table", "absolute_pos_embed"}
+
+    def walk(node):
+        out = {}
+        for key, val in node.items():
+            if isinstance(val, Mapping):
+                out[key] = walk(val)
+            elif (hasattr(val, "ndim") and val.ndim >= 2
+                    and val.dtype == jnp.float32 and key not in keep_names):
+                out[key] = val.astype(jnp.bfloat16)
+            else:
+                out[key] = val
+        return out
+
+    return {**variables, "params": walk(variables["params"])}

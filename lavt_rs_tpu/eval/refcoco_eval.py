@@ -86,7 +86,7 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
              pad_sentences: Optional[int] = None,
              refs_per_batch: Optional[int] = None,
              image_dtype=None, out_stream=None,
-             pipeline_depth: int = 2) -> dict:
+             pipeline_depth: int = 2, cast_bf16: bool = False) -> dict:
     """model_apply(variables, image, ids, mask) -> NHWC logits.
 
     image_dtype: ship images to the device in this dtype (pass bfloat16
@@ -108,6 +108,14 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
     except (ValueError, KeyError, TypeError):
         # no/odd params tree (stub model_apply in tests), 3D tables, ...
         pass
+    if cast_bf16:
+        # bf16 models: pre-cast the matmul weights once (bit-identical —
+        # every apply casts them anyway; see fold.cast_matmul_params_bf16).
+        try:
+            from .fold import cast_matmul_params_bf16
+            variables = cast_matmul_params_bf16(variables)
+        except (KeyError, TypeError, AttributeError):
+            pass
     fwd_iou = _fwd_iou_for(model_apply)
 
     # one fixed sentence count -> one compile for the whole eval

@@ -693,6 +693,15 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                + ch * n * n * 4)              # mask block
         if buf > budget_mb * 1024 * 1024:
             continue
+        if cq != c and buf + fixed > 10 * 1024 * 1024:
+            # Head-group-split call: the estimate runs ~3x optimistic
+            # against Mosaic's true scoped usage (Swin-B stage 4 ch=4:
+            # est 11.5 MB, scoped 17.71 MB — and whether it fits the
+            # 16 MB limit then depends on the INPUT LAYOUT XLA happens
+            # to pick, which broke bs-32 compiles).  Count the resident
+            # weights+bias and keep a wide margin; the smaller chunk
+            # costs only grid steps (~3 us each).
+            continue
         if nw % ch and buf + fixed > (budget_mb + 0.5) * 1024 * 1024:
             # cross-image candidate (not covered by the legacy
             # calibration): count the resident weights/bias too.  The

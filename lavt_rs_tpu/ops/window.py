@@ -17,6 +17,7 @@ forward — pure overhead under jit).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -64,18 +65,56 @@ def _shifted_partition_idx_np(hp: int, wp: int, ws: int, ss: int):
     return fwd, inv
 
 
+def _partition_impl() -> str:
+    """Formulation for the shift+partition permutation (measured, v5e):
+
+    - "take" (batched axis-1 gather): one HBM pass; the measured winner
+      at bs <= 16 and the default there.
+    - "flat" (axis-0 gather over (B*Hp*Wp, C) rows with per-image offset
+      indices): same single pass, but batch-free gather dims — XLA's
+      batched-gather emitter degrades superlinearly at bs 32 (measured
+      ~4 ms/step of gathers vs ~1.6 expected at Swin-B 480²).
+    - "transpose" (roll + reshape + 6-D transpose): 2 HBM passes for
+      shifted blocks, but pure tiled copies.
+
+    LAVT_PARTITION_IMPL overrides ("take"/"flat"/"transpose");
+    "auto" (default) = take."""
+    impl = os.environ.get("LAVT_PARTITION_IMPL", "auto")
+    if os.environ.get("LAVT_TAKE_PARTITION", "1") == "0":  # legacy hatch
+        return "transpose"
+    return "take" if impl == "auto" else impl
+
+
+@functools.lru_cache(maxsize=32)
+def _flat_partition_idx(b: int, hp: int, wp: int, ws: int, ss: int):
+    fwd, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
+    off = (np.arange(b, dtype=np.int32) * (hp * wp))[:, None]
+    return ((off + fwd[None, :]).reshape(-1),
+            (off + inv[None, :]).reshape(-1))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
     """(B, Hp, Wp, C) -> (B, nW, ws*ws, C): cyclic shift by -ss on both
-    spatial axes + window partition, as one static gather.
+    spatial axes + window partition, as one static gather (see
+    _partition_impl for the formulation variants).
 
     custom VJP: the indices are a PERMUTATION, so the gather's transpose
     is the inverse gather — jnp.take's default autodiff transpose is a
     scatter-add, which is slow on TPU and would have regressed training.
     """
     b, hp, wp, c = x.shape
-    fwd, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
     nw = (hp // ws) * (wp // ws)
+    impl = _partition_impl()
+    if impl == "transpose":
+        if ss:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        return window_partition(x, ws).reshape(b, nw, ws * ws, c)
+    if impl == "flat":
+        fwd, _ = _flat_partition_idx(b, hp, wp, ws, ss)
+        return jnp.take(x.reshape(b * hp * wp, c), jnp.asarray(fwd),
+                        axis=0).reshape(b, nw, ws * ws, c)
+    fwd, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
     return jnp.take(x.reshape(b, hp * wp, c), jnp.asarray(fwd),
                     axis=1).reshape(b, nw, ws * ws, c)
 
@@ -86,9 +125,96 @@ def reverse_shifted(xw: jnp.ndarray, ws: int, ss: int,
     """Inverse of partition_shifted: (B, nW, ws*ws, C) -> (B, Hp, Wp, C).
     Same permutation argument for the custom VJP."""
     b, nw, n, c = xw.shape
+    impl = _partition_impl()
+    if impl == "transpose":
+        x = window_reverse(xw.reshape(b * nw, n, c), ws, hp, wp)
+        if ss:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        return x
+    if impl == "flat":
+        _, inv = _flat_partition_idx(b, hp, wp, ws, ss)
+        return jnp.take(xw.reshape(b * hp * wp, c), jnp.asarray(inv),
+                        axis=0).reshape(b, hp, wp, c)
     _, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
     return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
                     axis=1).reshape(b, hp, wp, c)
+
+
+@functools.lru_cache(maxsize=32)
+def _padded_partition_idx_np(h: int, w: int, hp: int, wp: int,
+                             ws: int, ss: int):
+    """Index arrays folding zero-PADDING into the shift+partition gather.
+
+    fwd: (hp*wp,) indices into the unpadded flat (h*w) space, with every
+    pad position (row >= h or col >= w) mapped to the sentinel h*w — the
+    caller appends one zero row so the gather emits exact zeros there
+    (same values as the reference's post-LN jnp.pad, backbone.py:615-621,
+    without materializing the padded (B, Hp, Wp, C) copy).
+    inv: (h*w,) indices into the windowed (hp*wp) ordering selecting only
+    the real positions — reverse + un-pad as one gather."""
+    fwd_p, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
+    rows, cols = np.divmod(fwd_p, wp)
+    real = (rows < h) & (cols < w)
+    fwd = np.where(real, rows * w + cols, h * w).astype(np.int32)
+    # position of each real source (r*w + c) within the windowed ordering
+    inv = np.empty(h * w, np.int32)
+    inv[fwd[real]] = np.nonzero(real)[0].astype(np.int32)
+    return fwd, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def partition_shifted_padded(x: jnp.ndarray, ws: int, ss: int,
+                             hp: int, wp: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nW, ws*ws, C) for geometries needing zero
+    padding to (Hp, Wp): pad + cyclic shift + window partition as ONE
+    gather from x plus an appended zero row (pad positions read it).
+
+    custom VJP: real positions form a permutation into the output; pad
+    outputs carry no gradient (their cotangent lands on the appended row
+    and is dropped), matching jnp.pad's transpose exactly."""
+    b, h, w, c = x.shape
+    fwd, _ = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
+    nw = (hp // ws) * (wp // ws)
+    xa = jnp.concatenate(
+        [x.reshape(b, h * w, c), jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    return jnp.take(xa, jnp.asarray(fwd), axis=1).reshape(
+        b, nw, ws * ws, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def reverse_shifted_unpadded(xw: jnp.ndarray, ws: int, ss: int,
+                             hp: int, wp: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of partition_shifted_padded: (B, nW, ws*ws, C) ->
+    (B, H, W, C), dropping pad positions in the same gather."""
+    b, nw, n, c = xw.shape
+    _, inv = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
+    return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
+                    axis=1).reshape(b, h, w, c)
+
+
+def _partition_shifted_padded_fwd(x, ws, ss, hp, wp):
+    return partition_shifted_padded(x, ws, ss, hp, wp), x.shape
+
+
+def _partition_shifted_padded_bwd(ws, ss, hp, wp, shape, g):
+    b, h, w, c = shape
+    return (reverse_shifted_unpadded(g, ws, ss, hp, wp, h, w),)
+
+
+partition_shifted_padded.defvjp(_partition_shifted_padded_fwd,
+                                _partition_shifted_padded_bwd)
+
+
+def _reverse_shifted_unpadded_fwd(xw, ws, ss, hp, wp, h, w):
+    return reverse_shifted_unpadded(xw, ws, ss, hp, wp, h, w), None
+
+
+def _reverse_shifted_unpadded_bwd(ws, ss, hp, wp, h, w, _, g):
+    return (partition_shifted_padded(g, ws, ss, hp, wp),)
+
+
+reverse_shifted_unpadded.defvjp(_reverse_shifted_unpadded_fwd,
+                                _reverse_shifted_unpadded_bwd)
 
 
 def _partition_shifted_fwd(x, ws, ss):

@@ -82,3 +82,39 @@ def test_folded_bias_matches_unfolded(tiny_setup):
     want = np.asarray(model.apply(variables, *args))
     got = np.asarray(model.apply(folded, *args))
     np.testing.assert_array_equal(got, want)
+
+
+def test_bf16_param_cast_is_bit_identical(tiny_setup):
+    """cast_matmul_params_bf16 pre-casts the >=2-D matmul weights to bf16;
+    under a bf16 model every apply casts them anyway, so the outputs must
+    be BIT-identical.  1-D leaves (biases, LN scales — consumed in f32 by
+    the fused kernels) and the rel-pos tables must stay f32."""
+    from lavt_rs_tpu.eval.fold import cast_matmul_params_bf16
+
+    cfg, model, variables, args = tiny_setup
+    model16 = build_model(cfg.replace(dtype="bfloat16"))
+    cast = cast_matmul_params_bf16(variables)
+
+    def leaves_named(tree, pred):
+        out = []
+
+        def walk(node, path):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, path + (k,))
+                elif pred(k, v):
+                    out.append((path + (k,), v))
+        walk(tree, ())
+        return out
+
+    # big weights cast, 1-D + tables kept
+    assert all(v.dtype == jnp.bfloat16 for _, v in leaves_named(
+        cast["params"], lambda k, v: v.ndim >= 2
+        and k != "relative_position_bias_table"))
+    assert all(v.dtype == jnp.float32 for _, v in leaves_named(
+        cast["params"], lambda k, v: v.ndim < 2
+        or k == "relative_position_bias_table"))
+
+    want = np.asarray(model16.apply(variables, *args))
+    got = np.asarray(model16.apply(cast, *args))
+    np.testing.assert_array_equal(got, want)

@@ -284,3 +284,44 @@ def test_partition_shifted_grads_are_inverse_permutation(rng):
     g_ref = jax.grad(f_ref)(x)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_partition_shifted_padded_matches_pad_then_partition():
+    """partition_shifted_padded folds jnp.pad into the gather (zero-row
+    trick); it and its inverse/VJPs must be BIT-identical to
+    pad -> partition_shifted / reverse_shifted -> unpad slice for both
+    shifted and unshifted geometries (Swin-B 480² stage-3 shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavt_rs_tpu.ops.window import (partition_shifted,
+                                        partition_shifted_padded,
+                                        reverse_shifted,
+                                        reverse_shifted_unpadded)
+
+    rng = np.random.default_rng(0)
+    h = w = 30
+    ws, hp, wp = 12, 36, 36
+    x = jnp.asarray(rng.standard_normal((2, h, w, 5)), jnp.float32)
+    pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+    for ss in (0, 6):
+        ref = partition_shifted(jnp.pad(x, pad), ws, ss)
+        got = partition_shifted_padded(x, ws, ss, hp, wp)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        yw = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+        ref_r = reverse_shifted(yw, ws, ss, hp, wp)[:, :h, :w, :]
+        got_r = reverse_shifted_unpadded(yw, ws, ss, hp, wp, h, w)
+        np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
+
+        g_ref = jax.grad(lambda t: float(0) + (partition_shifted(
+            jnp.pad(t, pad), ws, ss) * yw).sum())(x)
+        g_new = jax.grad(lambda t: (partition_shifted_padded(
+            t, ws, ss, hp, wp) * yw).sum())(x)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_new))
+
+        gr_ref = jax.grad(lambda t: (reverse_shifted(
+            t, ws, ss, hp, wp)[:, :h, :w, :] * x).sum())(yw)
+        gr_new = jax.grad(lambda t: (reverse_shifted_unpadded(
+            t, ws, ss, hp, wp, h, w) * x).sum())(yw)
+        np.testing.assert_array_equal(np.asarray(gr_ref), np.asarray(gr_new))

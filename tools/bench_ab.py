@@ -45,8 +45,10 @@ def main():
     shapes = jax.eval_shape(lambda: model.init(
         jax.random.PRNGKey(0), img[:1], ids[:1], mask[:1]))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    from lavt_rs_tpu.eval.fold import fold_rel_pos_bias_2d
+    from lavt_rs_tpu.eval.fold import (cast_matmul_params_bf16,
+                                       fold_rel_pos_bias_2d)
     variables = fold_rel_pos_bias_2d(variables)
+    variables = cast_matmul_params_bf16(variables)
 
     fwd = jax.jit(lambda v, *a: model.apply(v, *a).sum())
     t0 = time.perf_counter()
