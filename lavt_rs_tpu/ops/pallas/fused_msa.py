@@ -36,6 +36,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _softmax_exp(s):
+    """exp() for the in-kernel softmax numerator.
+
+    Default: shift-free with an overflow clamp — exp(min(s, 80)).
+    Mathematically identical to max-subtracted softmax whenever every
+    score is <= 80 (always, for real checkpoints: window-attention
+    logits are O(10), and the shift/pad mask only SUBTRACTS), and the
+    clamp rides the exp pass on the VPU, while the per-row max is a
+    LANE-dim reduction + broadcast subtract that measured ~1.4 ms/step
+    at Swin-B 480² bs 8 (31.9 -> 30.6 ms/step e2e).  The backward
+    recompute uses the same form so recomputed probabilities match the
+    forward bitwise.  LAVT_SOFTMAX=exact restores the max-subtracted
+    form (read at trace time)."""
+    if os.environ.get("LAVT_SOFTMAX", "clamp") == "exact":
+        return jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    return jnp.exp(jnp.minimum(s, 80.0))
+
+
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, out_ref, fat, *,
             heads: int, scale: float, ln_s_ref=None, ln_b_ref=None,
@@ -100,8 +118,7 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         s = s + bias_ref[h].astype(jnp.float32)[None]
         if mask_ref is not None:
             s = s + mask_ref[...].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = _softmax_exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
         o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -202,8 +219,7 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
         s = s + bias_ref[h].astype(f32)[None]
         if mask_ref is not None:
             s = s + mask_ref[...].astype(f32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = _softmax_exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)   # (ch, n, n) f32
         pc = p.astype(x.dtype)
 
@@ -275,11 +291,18 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     dx_ref[...] = dx.reshape(ch, n, c).astype(dx_ref.dtype)
 
 
-def _use_fat_gemm(c: int) -> bool:
-    """Route the head-concat scratch + fat-GEMM form by width (measured on
-    v5e, Swin-B bs 8): C>=256 wins (stage-2 bwd 27.6 -> 20.5 ms/step);
-    at C=128 the scratch VMEM shrinks the chunk and loses ~0.4 ms/step,
-    so the per-head-slice GEMMs stay there."""
+def _use_fat_gemm(c: int, fwd: bool = False) -> bool:
+    """Route the head-concat + fat-GEMM form by width (measured on v5e,
+    Swin-B bs 8): C>=256 wins (stage-2 bwd 27.6 -> 20.5 ms/step); at
+    C=128 the BACKWARD's separate scratch shrinks the chunk and loses
+    ~0.4 ms/step, so the per-head-slice GEMMs stay there.  The FORWARD's
+    concat reuses out_ref's block (no scratch cost since the
+    out-ref-as-scratch change) — but measured e2e it still LOSES at
+    C=128 (32.17 vs 31.94 ms/step, Swin-B 480² bs 8: the out_ref
+    read-back costs more than the K=32 dots save), so the per-head sum
+    stays the default there; LAVT_FAT128=1 is the A/B hatch."""
+    if fwd and c == 128:
+        return os.environ.get("LAVT_FAT128", "0") == "1"
     return c >= 256
 
 
@@ -761,7 +784,7 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
     m, n, c = xm.shape
     dt = xm.dtype
     cq = wq.shape[1]
-    fat = _use_fat_gemm(cq)
+    fat = _use_fat_gemm(cq, fwd=True)
     has_mask = mask is not None
     has_bp = bproj is not None
 

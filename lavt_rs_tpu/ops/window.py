@@ -115,8 +115,23 @@ def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
         return jnp.take(x.reshape(b * hp * wp, c), jnp.asarray(fwd),
                         axis=0).reshape(b, nw, ws * ws, c)
     fwd, _ = _shifted_partition_idx_np(hp, wp, ws, ss)
-    return jnp.take(x.reshape(b, hp * wp, c), jnp.asarray(fwd),
-                    axis=1).reshape(b, nw, ws * ws, c)
+    return _batched_take(x.reshape(b, hp * wp, c), jnp.asarray(fwd),
+                         impl).reshape(b, nw, ws * ws, c)
+
+
+def _batched_take(x2, idx, impl):
+    """jnp.take along axis 1, optionally split into batch halves.
+
+    impl "split": two half-batch gathers + concat — probes whether XLA's
+    batched-gather emitter (superlinear at bs 32, see _partition_impl)
+    recovers its small-batch throughput on halves."""
+    b = x2.shape[0]
+    if impl == "split" and b >= 4:
+        h = b // 2
+        return jnp.concatenate(
+            [jnp.take(x2[:h], idx, axis=1), jnp.take(x2[h:], idx, axis=1)],
+            axis=0)
+    return jnp.take(x2, idx, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -136,8 +151,8 @@ def reverse_shifted(xw: jnp.ndarray, ws: int, ss: int,
         return jnp.take(xw.reshape(b * hp * wp, c), jnp.asarray(inv),
                         axis=0).reshape(b, hp, wp, c)
     _, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
-    return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
-                    axis=1).reshape(b, hp, wp, c)
+    return _batched_take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
+                         impl).reshape(b, hp, wp, c)
 
 
 @functools.lru_cache(maxsize=32)
@@ -177,7 +192,7 @@ def partition_shifted_padded(x: jnp.ndarray, ws: int, ss: int,
     nw = (hp // ws) * (wp // ws)
     xa = jnp.concatenate(
         [x.reshape(b, h * w, c), jnp.zeros((b, 1, c), x.dtype)], axis=1)
-    return jnp.take(xa, jnp.asarray(fwd), axis=1).reshape(
+    return _batched_take(xa, jnp.asarray(fwd), _partition_impl()).reshape(
         b, nw, ws * ws, c)
 
 
@@ -188,8 +203,8 @@ def reverse_shifted_unpadded(xw: jnp.ndarray, ws: int, ss: int,
     (B, H, W, C), dropping pad positions in the same gather."""
     b, nw, n, c = xw.shape
     _, inv = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
-    return jnp.take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
-                    axis=1).reshape(b, h, w, c)
+    return _batched_take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
+                         _partition_impl()).reshape(b, h, w, c)
 
 
 def _partition_shifted_padded_fwd(x, ws, ss, hp, wp):
