@@ -398,10 +398,15 @@ def inflate_rel_pos_table_2d_to_3d(table: Array, window_3d) -> Array:
     return np.tile(table, (2 * wd - 1, 1))
 
 
-def inflate_patch_embed_2d_to_3d(w: Array) -> Array:
-    """Conv2d (out,in,kh,kw) -> Conv3d (out,in,1,kh,kw): temporal unsqueeze
-    (reference lib/_utils.py:153; the video patch depth is always 1)."""
-    return w[:, :, None]
+def inflate_patch_embed_2d_to_3d(w: Array, patch_t: int = 1) -> Array:
+    """Conv2d (out,in,kh,kw) -> Conv3d (out,in,patch_t,kh,kw): temporal
+    unsqueeze, then repeat/÷patch_t along the new depth axis (reference
+    lib/video_swin_transformer.py:783 inflate_weights) — the division
+    makes the 3D conv of a temporally constant clip reproduce the 2D
+    output exactly.  Every shipped LAVT config uses patch depth 1
+    (reference lib/_utils.py:153), where this is the plain unsqueeze."""
+    w3 = np.repeat(np.asarray(w)[:, :, None], patch_t, axis=2)
+    return w3 / patch_t if patch_t > 1 else w3
 
 
 def sum_patch_embed_temporal(w: Array) -> Array:
@@ -429,7 +434,7 @@ def convert_mm_swin3d(sd: FlatDict, cfg: ModelConfig,
 
     pe_w = sd[f"{p}patch_embed.proj.weight"]
     if from_2d:
-        pe_w = inflate_patch_embed_2d_to_3d(pe_w)
+        pe_w = inflate_patch_embed_2d_to_3d(pe_w, cfg.swin.patch_size_3d[0])
     elif pe_w.ndim == 5 and pe_w.shape[2] != cfg.swin.patch_size_3d[0]:
         pe_w = sum_patch_embed_temporal(pe_w)
     _set(tree, ("patch_embed", "proj", "kernel"), _conv3d(pe_w))

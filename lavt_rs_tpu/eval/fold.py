@@ -87,6 +87,14 @@ def fold_rel_pos_bias_2d(variables):
     return {**variables, "folded": walk(variables["params"])}
 
 
+# >=2-D params that cast_matmul_params_bf16 keeps in f32 (shared with the
+# dtype assertions in tests/test_model_forward.py so both exemptions stay
+# asserted): the rel-pos tables feed the f32 bias expansion; the absolute
+# position embedding is bicubic-resized in f32 before its cast.
+CAST_KEEP_NAMES = frozenset(
+    {"relative_position_bias_table", "absolute_pos_embed"})
+
+
 def cast_matmul_params_bf16(variables):
     """Pre-cast the big matmul weights to bf16 for bf16 inference.
 
@@ -115,7 +123,7 @@ def cast_matmul_params_bf16(variables):
 
     import jax.numpy as jnp
 
-    keep_names = {"relative_position_bias_table", "absolute_pos_embed"}
+    keep_names = CAST_KEEP_NAMES
 
     def walk(node):
         out = {}

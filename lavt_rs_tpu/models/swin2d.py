@@ -36,6 +36,7 @@ from ..ops.window import (
     reverse_shifted,
     reverse_shifted_unpadded,
     shift_mask_2d,
+    use_take_partition,
     window_partition,
     window_reverse,
 )
@@ -297,9 +298,7 @@ class SwinBlock(nn.Module):
                              name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
-        import os as _os
-
-        take_part = _os.environ.get("LAVT_TAKE_PARTITION", "1") != "0"
+        take_part = use_take_partition()
         if (pad_b or pad_r) and not take_part:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r

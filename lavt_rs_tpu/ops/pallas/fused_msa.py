@@ -36,20 +36,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _softmax_exp(s):
+def _softmax_exp(s, exact: bool = False):
     """exp() for the in-kernel softmax numerator.
 
-    Default: shift-free with an overflow clamp — exp(min(s, 80)).
+    Inference default: shift-free with an overflow clamp — exp(min(s, 80)).
     Mathematically identical to max-subtracted softmax whenever every
     score is <= 80 (always, for real checkpoints: window-attention
     logits are O(10), and the shift/pad mask only SUBTRACTS), and the
     clamp rides the exp pass on the VPU, while the per-row max is a
     LANE-dim reduction + broadcast subtract that measured ~1.4 ms/step
-    at Swin-B 480² bs 8 (31.9 -> 30.6 ms/step e2e).  The backward
-    recompute uses the same form so recomputed probabilities match the
-    forward bitwise.  LAVT_SOFTMAX=exact restores the max-subtracted
-    form (read at trace time)."""
-    if os.environ.get("LAVT_SOFTMAX", "clamp") == "exact":
+    at Swin-B 480² bs 8 (31.9 -> 30.6 ms/step e2e).
+
+    Training (exact=True — the custom-VJP forward and the backward
+    recompute): the max-subtracted form.  A training run CAN drive
+    logits past the clamp (lr spikes / exploding logits): above 80 the
+    clamp collapses a row to uniform weights with a silently wrong
+    gradient, and an all-below--87 row underflows to 0/0 = NaN — so
+    the differentiated path pays the row-max pass for safety.  Both
+    jax.grad legs use exact, so the backward's recomputed
+    probabilities still match the taped forward bitwise.
+
+    LAVT_SOFTMAX=exact / =clamp forces one form everywhere (read at
+    trace time; `clamp` restores the pre-round-5 training behavior
+    for A/B measurement)."""
+    mode = os.environ.get("LAVT_SOFTMAX", "")
+    if mode == "exact" or (exact and mode != "clamp"):
         return jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     return jnp.exp(jnp.minimum(s, 80.0))
 
@@ -57,7 +68,7 @@ def _softmax_exp(s):
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, out_ref, fat, *,
             heads: int, scale: float, ln_s_ref=None, ln_b_ref=None,
-            ln_eps: float = 1e-5):
+            ln_eps: float = 1e-5, exact: bool = False):
     """Processes a CHUNK of ch windows per grid step.
 
     One window per step (grid b*nW) is latency-bound: at Swin-B stage 1
@@ -118,7 +129,7 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         s = s + bias_ref[h].astype(jnp.float32)[None]
         if mask_ref is not None:
             s = s + mask_ref[...].astype(jnp.float32)
-        e = _softmax_exp(s)
+        e = _softmax_exp(s, exact)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
         o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -219,7 +230,7 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
         s = s + bias_ref[h].astype(f32)[None]
         if mask_ref is not None:
             s = s + mask_ref[...].astype(f32)
-        e = _softmax_exp(s)
+        e = _softmax_exp(s, exact=True)  # backward only runs in training
         p = e / jnp.sum(e, axis=-1, keepdims=True)   # (ch, n, n) f32
         pc = p.astype(x.dtype)
 
@@ -683,6 +694,7 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
     # deliberately conservative (true scoped usage runs ~2x the estimate);
     # this is the measured escape hatch.
     env = os.environ.get("LAVT_MSA_CHUNK", "")
+    budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "8"))
     if env:
         for part in env.split(","):
             try:
@@ -691,11 +703,23 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                     ch = int(chs)
                     if m % ch == 0 and _chunk_ok(ch, n, itemsize) and (
                             not masked or nw % ch == 0 or ch % nw == 0):
+                        est = (ch * n * (c + 3 * cq) * itemsize
+                               + ch * n * (n * 2 + c) * 4
+                               + (3 * c * cq + cq * c) * itemsize
+                               + heads * n * n * 4)
+                        if est > budget_mb * 1024 * 1024:
+                            import warnings
+                            warnings.warn(
+                                f"LAVT_MSA_CHUNK={ch} at C={c}: estimated "
+                                f"VMEM footprint {est / 2**20:.1f} MB "
+                                f"exceeds the {budget_mb:.0f} MB budget "
+                                "(true scoped usage runs ~2x the estimate "
+                                "— Mosaic's 16 MB limit may fail the "
+                                "compile)")
                         return ch
             except ValueError:
                 continue
     best = 1
-    budget_mb = float(os.environ.get("LAVT_MSA_VMEM_MB", "8"))
     # Weights + f32 bias resident across the grid.  The buf<=budget rule
     # was calibrated WITHOUT this term (on within-image candidates), so it
     # only gates the NEW cross-image candidates below; counting it for the
@@ -774,7 +798,7 @@ def _split_weights(wqkv, bqkv, wproj, heads):
 
 def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
               heads, scale, ch, nw, out_dtype, ln=None,
-              ln_eps: float = 1e-5):
+              ln_eps: float = 1e-5, exact: bool = False):
     """One forward pallas_call over (possibly head-group-sliced) weights.
 
     xm: (m, n, C) windowed tokens; wq/wk/wv: (C, cq); wp: (cq, C);
@@ -837,7 +861,7 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
         out_ref = refs[i]
         _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, fat,
                 heads=heads, scale=scale, ln_s_ref=ln_s_ref,
-                ln_b_ref=ln_b_ref, ln_eps=ln_eps)
+                ln_b_ref=ln_b_ref, ln_eps=ln_eps, exact=exact)
 
     flops = 2 * m * (n * c * 3 * cq + 2 * heads * n * n * (cq // heads)
                      + n * cq * c)
@@ -857,7 +881,7 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
-         ln_eps: float = 1e-5):
+         ln_eps: float = 1e-5, exact: bool = False):
     b, nw, n, c = x.shape
     dt = x.dtype
     itemsize = jnp.dtype(dt).itemsize
@@ -871,7 +895,8 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
         ch = _pick_chunk(nw, n, c, heads, itemsize, m=m,
                          masked=mask is not None)
         out = _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
-                        heads, scale, ch, nw, dt, ln=ln, ln_eps=ln_eps)
+                        heads, scale, ch, nw, dt, ln=ln, ln_eps=ln_eps,
+                        exact=exact)
         return out.reshape(b, nw, n, c)
 
     # Head-group split (wide stages, e.g. Swin-B stage 3 C=1024): each
@@ -892,7 +917,7 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
                          bproj if gi == 0 else None,
                          bias[gi * hpg:(gi + 1) * hpg], mask,
                          hpg, scale, ch, nw, jnp.float32, ln=ln,
-                         ln_eps=ln_eps)
+                         ln_eps=ln_eps, exact=exact)
         total = part if total is None else total + part
     return total.astype(dt).reshape(b, nw, n, c)
 
@@ -927,7 +952,11 @@ def _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
 
 
 def _vjp_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
-    out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale)
+    # exact=True: the taped (training) forward uses the max-subtracted
+    # softmax so it stays finite under exploding logits and matches the
+    # backward recompute bitwise (see _softmax_exp).
+    out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
+               exact=True)
     return out, (x, wqkv, bqkv, wproj, bproj, bias, mask)
 
 
@@ -1041,7 +1070,7 @@ def fused_window_msa_ln(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 def _vjp_ln_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
                 mask, heads, scale, ln_eps):
     out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
-               ln=(ln_scale, ln_bias), ln_eps=ln_eps)
+               ln=(ln_scale, ln_bias), ln_eps=ln_eps, exact=True)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
                  mask)
 

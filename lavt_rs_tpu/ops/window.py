@@ -85,6 +85,15 @@ def _partition_impl() -> str:
     return "take" if impl == "auto" else impl
 
 
+def use_take_partition() -> bool:
+    """Single source of truth for the gather-vs-transpose routing: True
+    unless the legacy LAVT_TAKE_PARTITION=0 hatch (or
+    LAVT_PARTITION_IMPL=transpose) forces the roll+6D-transpose path.
+    SwinBlock gates its pre-pad on this, so it must agree with
+    _partition_impl."""
+    return _partition_impl() != "transpose"
+
+
 @functools.lru_cache(maxsize=32)
 def _flat_partition_idx(b: int, hp: int, wp: int, ws: int, ss: int):
     fwd, inv = _shifted_partition_idx_np(hp, wp, ws, ss)
@@ -124,7 +133,16 @@ def _batched_take(x2, idx, impl):
 
     impl "split": two half-batch gathers + concat — probes whether XLA's
     batched-gather emitter (superlinear at bs 32, see _partition_impl)
-    recovers its small-batch throughput on halves."""
+    recovers its small-batch throughput on halves.
+
+    NOTE: only "split" is special-cased here; the PADDED gathers
+    (partition_shifted_padded / reverse_shifted_unpadded) route every
+    other impl — including "flat" and "transpose" — to the batched take,
+    because the zero-sentinel row is per-image (a flat axis-0 variant
+    would need per-image sentinel offsets over (B*(H*W+1), C) rows, and
+    "flat" already measured a loss on the unpadded stages: 216 vs
+    241 img/s at bs 32).  A/B flags at padded stages measure the batched
+    formulation regardless of LAVT_PARTITION_IMPL."""
     b = x2.shape[0]
     if impl == "split" and b >= 4:
         h = b // 2

@@ -89,7 +89,7 @@ def test_bf16_param_cast_is_bit_identical(tiny_setup):
     under a bf16 model every apply casts them anyway, so the outputs must
     be BIT-identical.  1-D leaves (biases, LN scales — consumed in f32 by
     the fused kernels) and the rel-pos tables must stay f32."""
-    from lavt_rs_tpu.eval.fold import cast_matmul_params_bf16
+    from lavt_rs_tpu.eval.fold import CAST_KEEP_NAMES, cast_matmul_params_bf16
 
     cfg, model, variables, args = tiny_setup
     model16 = build_model(cfg.replace(dtype="bfloat16"))
@@ -107,13 +107,13 @@ def test_bf16_param_cast_is_bit_identical(tiny_setup):
         walk(tree, ())
         return out
 
-    # big weights cast, 1-D + tables kept
+    # big weights cast, 1-D + the shared keep-set (rel-pos tables, APE) kept
     assert all(v.dtype == jnp.bfloat16 for _, v in leaves_named(
         cast["params"], lambda k, v: v.ndim >= 2
-        and k != "relative_position_bias_table"))
+        and k not in CAST_KEEP_NAMES))
     assert all(v.dtype == jnp.float32 for _, v in leaves_named(
         cast["params"], lambda k, v: v.ndim < 2
-        or k == "relative_position_bias_table"))
+        or k in CAST_KEEP_NAMES))
 
     want = np.asarray(model16.apply(variables, *args))
     got = np.asarray(model16.apply(cast, *args))

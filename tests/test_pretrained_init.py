@@ -287,3 +287,35 @@ def test_video_weights_flag_routes(monkeypatch, tmp_path):
     np.testing.assert_array_equal(
         _leaf(merged, "params/backbone/patch_embed/proj/bias"),
         np.ones(16, np.float32))
+
+
+def test_inflate_patch_embed_temporal_depth():
+    """Generic 2D->3D patch-embed inflation at temporal patch > 1:
+    unsqueeze + repeat/÷patch_t (reference
+    lib/video_swin_transformer.py:783) — a temporally constant input
+    through the 3D conv must reproduce the 2D conv's output."""
+    from lavt_rs_tpu.convert.torch2jax import inflate_patch_embed_2d_to_3d
+
+    rng = np.random.default_rng(0)
+    w2 = rng.standard_normal((8, 3, 4, 4)).astype(np.float32)
+
+    # depth 1: plain unsqueeze (the shipped LAVT configs)
+    w1 = inflate_patch_embed_2d_to_3d(w2, 1)
+    assert w1.shape == (8, 3, 1, 4, 4)
+    np.testing.assert_array_equal(w1[:, :, 0], w2)
+
+    # depth 2: repeat/2 — conv of a constant-in-time clip == 2D conv
+    w3 = inflate_patch_embed_2d_to_3d(w2, 2)
+    assert w3.shape == (8, 3, 2, 4, 4)
+    np.testing.assert_allclose(w3.sum(axis=2), w2, rtol=1e-6)
+    conv2 = tnn.Conv2d(3, 8, 4, stride=4, bias=False)
+    conv3 = tnn.Conv3d(3, 8, (2, 4, 4), stride=(2, 4, 4), bias=False)
+    with torch.no_grad():
+        conv2.weight.copy_(torch.from_numpy(w2))
+        conv3.weight.copy_(torch.from_numpy(w3))
+        img = torch.randn(1, 3, 8, 8)
+        clip = img[:, :, None].repeat(1, 1, 2, 1, 1)
+        out2 = conv2(img)
+        out3 = conv3(clip)
+    np.testing.assert_allclose(out3[:, :, 0].numpy(), out2.numpy(),
+                               rtol=1e-5, atol=1e-6)
