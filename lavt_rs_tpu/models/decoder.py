@@ -89,13 +89,18 @@ class ConvBNReLU(nn.Module):
             kern = _ConvKernel(self.features, self.kernel,
                                ca + x2.shape[-1], name="conv")()
             dn = ("NHWC", "HWIO", "NHWC")
+            # Same dtype semantics as the nn.Conv branch (inputs + kernel
+            # cast to self.dtype, conv emits self.dtype; the MXU still
+            # accumulates f32 internally).  An earlier form requested
+            # preferred_element_type=f32, which BROKE the bf16 training
+            # trace: the weight-grad transpose rule then pairs an f32
+            # cotangent with the bf16 input and conv_general_dilated
+            # rejects mixed dtypes.
             conv = lambda inp, k: jax.lax.conv_general_dilated(
                 inp.astype(self.dtype), k.astype(self.dtype), (1, 1),
                 "SAME", dimension_numbers=jax.lax.conv_dimension_numbers(
-                    inp.shape, k.shape, dn),
-                preferred_element_type=jnp.float32)
-            x = (conv(x, kern[:, :, :ca]) + conv(x2, kern[:, :, ca:])
-                 ).astype(self.dtype)
+                    inp.shape, k.shape, dn))
+            x = conv(x, kern[:, :, :ca]) + conv(x2, kern[:, :, ca:])
         x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)

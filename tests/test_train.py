@@ -439,3 +439,26 @@ def test_zero1_spec_largest_divisible_axis():
     assert zero1_spec((), 8) == P()
     # scalars/1d
     assert zero1_spec((1024,), 8) == P("data")
+
+
+def test_bf16_train_step_traces_and_descends(train_setup):
+    """Regression: the bf16 (AMP) train step must TRACE and descend.
+
+    Round 4's split-kernel decoder conv requested
+    preferred_element_type=f32 on bf16 inputs; its weight-grad transpose
+    then paired an f32 cotangent with the bf16 input and
+    conv_general_dilated rejected the mixed dtypes — the headline bf16
+    training config was untrainable while every f32 test stayed green."""
+    cfg, _, variables, batch = train_setup
+    model16 = build_model(cfg.replace(dtype="bfloat16"), train=True)
+    tcfg = TrainConfig(lr=1e-3, iters_per_epoch=50, epochs=1, loss="dice")
+    state, tx = create_train_state(model16, variables, tcfg)
+    step = jax.jit(make_train_step(model16, tx, tcfg))
+    key = jax.random.PRNGKey(0)
+    state, m0 = step(state, batch, key)
+    loss0 = float(m0["loss"])
+    assert np.isfinite(loss0)
+    for _ in range(12):
+        state, m = step(state, batch, key)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < loss0
