@@ -68,7 +68,9 @@ def _softmax_exp(s, exact: bool = False):
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, out_ref, fat, *,
             heads: int, scale: float, ln_s_ref=None, ln_b_ref=None,
-            ln_eps: float = 1e-5, exact: bool = False):
+            ln_eps: float = 1e-5, exact: bool = False,
+            qs_ref=None, ks_ref=None, vs_ref=None, p_ref=None,
+            xs_ref=None):
     """Processes a CHUNK of ch windows per grid step.
 
     One window per step (grid b*nW) is latency-bound: at Swin-B stage 1
@@ -103,6 +105,10 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
         xn = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
         x = (xn * ln_s_ref[...].astype(jnp.float32)[None]
              + ln_b_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
+        if xs_ref is not None:
+            # post-LN tokens: the residual backward's "x" (dw/dx are wrt
+            # the NORMALIZED stream; the LN backward chains in XLA)
+            xs_ref[...] = x.reshape(ch, n, c)
 
     # Full-width projections — the MXU-heavy GEMMs with K = C.  The f32
     # accumulate + bias/scale epilogue casts straight back to x.dtype
@@ -116,6 +122,14 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     k_all = (k_all + bk_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
     v_all = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
     v_all = (v_all + bv_ref[...].astype(jnp.float32)[None]).astype(x.dtype)
+
+    if qs_ref is not None:
+        # Training residuals: the exact bf16 q (post-scale) / k / v this
+        # forward used, so the fused backward skips its recompute GEMMs
+        # (see _bwd_kernel's residual mode).
+        qs_ref[...] = q_all.reshape(ch, n, cq)
+        ks_ref[...] = k_all.reshape(ch, n, cq)
+        vs_ref[...] = v_all.reshape(ch, n, cq)
 
     y = jnp.zeros((ch * n, c), jnp.float32)
     batched = (((2,), (2,)), ((0,), (0,)))  # contract hd, batch chunk
@@ -131,6 +145,10 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
             s = s + mask_ref[...].astype(jnp.float32)
         e = _softmax_exp(s, exact)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        if p_ref is not None:
+            # the very probabilities the taped output came from — the
+            # backward's ds/dv/dp chains reuse them bit-identically
+            p_ref[:, h] = p
         o = jax.lax.dot_general(  # (ch, n, n) @ (ch, n, hd) -> (ch, n, hd)
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -302,6 +320,127 @@ def _bwd_kernel(x_ref, g_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     dx_ref[...] = dx.reshape(ch, n, c).astype(dx_ref.dtype)
 
 
+def _bwd_kernel_resid(x_ref, g_ref, wq_ref, wk_ref, wv_ref, wp_ref,
+                      qs_ref, ks_ref, vs_ref, p_ref,
+                      dx_ref, dwq_ref, dwk_ref, dwv_ref, dwp_ref,
+                      dbq_ref, dbk_ref, dbv_ref, dbp_ref, dbias_ref,
+                      o_scr, dq_scr, dk_scr, dv_scr, *,
+                      heads: int, scale: float, lane_off: int):
+    """Fused MSA backward consuming the taped forward's residuals.
+
+    Same math and layout as _bwd_kernel, minus the entire recompute:
+    q/k/v arrive as the forward's bf16 projections (qs/ks/vs_ref — q
+    post-scale) and p as the exact bf16 probabilities the taped output
+    was produced from (p_ref), so the s = q@k^T dot, bias/mask adds,
+    exp, and the softmax reductions all disappear (measured ~60% of the
+    recompute kernel's time at Swin-B 480² stage 2, bs 8 — the VPU
+    softmax passes, not the MXU, were the bottleneck).  bias and mask
+    are not inputs at all: dbias comes from ds, and the shift-mask
+    cotangent is identically zero.
+
+    lane_off: static lane offset of this head-group's columns inside
+    qs/ks/vs_ref — 0 when the BlockSpec already lane-sliced the group
+    (cq % 128 == 0), gi*cq when the refs carry the full C width."""
+    ch, n, c = x_ref.shape
+    cq = wq_ref.shape[1]
+    hd = cq // heads
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[...].reshape(ch * n, c)
+    gy = g_ref[...].reshape(ch * n, c).astype(f32)
+    gyc = gy.astype(x.dtype)
+
+    dattn = jax.lax.dot_general(gyc, wp_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+
+    @pl.when(i == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    fat = o_scr is not None
+    dx = None if fat else jnp.zeros((ch * n, c), f32)
+    rowsT = (((0,), (0,)), ((), ()))          # a^T @ b over rows
+    qs = qs_ref[...]
+    ks = ks_ref[...]
+    vs = vs_ref[...]
+    for h in range(heads):
+        lsl = slice(lane_off + h * hd, lane_off + (h + 1) * hd)
+        sl = slice(h * hd, (h + 1) * hd)
+        q = qs[:, :, lsl]
+        k = ks[:, :, lsl]
+        v = vs[:, :, lsl]
+        pc = p_ref[:, h]                      # (ch, n, n) bf16, as taped
+        pf = pc.astype(f32)
+
+        do_h = dattn[:, sl].astype(x.dtype).reshape(ch, n, hd)
+        o_h = jax.lax.dot_general(pc, v, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)
+        if fat:
+            o_scr[:, sl] = o_h.astype(x.dtype).reshape(ch * n, hd)
+        else:
+            dwp_ref[sl, :] += jax.lax.dot_general(
+                o_h.astype(x.dtype).reshape(ch * n, hd), gyc, rowsT,
+                preferred_element_type=f32)
+
+        dv_h = jax.lax.dot_general(pc, do_h, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+        dp = jax.lax.dot_general(do_h, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+        dbias_ref[h] += ds.sum(0)
+        dsc = ds.astype(x.dtype)
+
+        dq_h = jax.lax.dot_general(dsc, k, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32) * scale
+        dk_h = jax.lax.dot_general(dsc, q, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+        for d_h, scr, w_ref, dw_ref, db_ref in (
+                (dq_h, dq_scr, wq_ref, dwq_ref, dbq_ref),
+                (dk_h, dk_scr, wk_ref, dwk_ref, dbk_ref),
+                (dv_h, dv_scr, wv_ref, dwv_ref, dbv_ref)):
+            d_flat = d_h.reshape(ch * n, hd)
+            dc = d_flat.astype(x.dtype)
+            if fat:
+                scr[:, sl] = dc
+            else:
+                dx = dx + jax.lax.dot_general(
+                    dc, w_ref[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                dw_ref[:, sl] += jax.lax.dot_general(
+                    x, dc, rowsT, preferred_element_type=f32)
+            db_ref[:, sl] += d_flat.sum(0)[None]
+
+    if fat:
+        colsT = (((1,), (1,)), ((), ()))          # a @ b^T over columns
+        dwp_ref[...] += jax.lax.dot_general(o_scr[...], gyc, rowsT,
+                                            preferred_element_type=f32)
+        dq_all_c, dk_all_c, dv_all_c = dq_scr[...], dk_scr[...], dv_scr[...]
+        dx = jax.lax.dot_general(dq_all_c, wq_ref[...], colsT,
+                                 preferred_element_type=f32)
+        dx = dx + jax.lax.dot_general(dk_all_c, wk_ref[...], colsT,
+                                      preferred_element_type=f32)
+        dx = dx + jax.lax.dot_general(dv_all_c, wv_ref[...], colsT,
+                                      preferred_element_type=f32)
+        dwq_ref[...] += jax.lax.dot_general(x, dq_all_c, rowsT,
+                                            preferred_element_type=f32)
+        dwk_ref[...] += jax.lax.dot_general(x, dk_all_c, rowsT,
+                                            preferred_element_type=f32)
+        dwv_ref[...] += jax.lax.dot_general(x, dv_all_c, rowsT,
+                                            preferred_element_type=f32)
+
+    dbp_ref[...] += gy.sum(0)[None]
+    dx_ref[...] = dx.reshape(ch, n, c).astype(dx_ref.dtype)
+
+
 def _use_fat_gemm(c: int, fwd: bool = False) -> bool:
     """Route the head-concat + fat-GEMM form by width (measured on v5e,
     Swin-B bs 8): C>=256 wins (stage-2 bwd 27.6 -> 20.5 ms/step); at
@@ -384,10 +523,13 @@ def fused_msa_bwd_supported(nw: int, n: int, c: int, heads: int,
     return _pick_head_groups(nw, n, c, heads, itemsize) is not None
 
 
-def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
+def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale,
+               saved=None):
     """Assembler: optionally split heads into G groups, run the fused
     backward kernel per group on its weight/bias slices, and stitch the
-    grads back together (dx sums over groups; dbproj comes from group 0)."""
+    grads back together (dx sums over groups; dbproj comes from group 0).
+    saved: optional (q, k, v, p) residuals from the taped forward (see
+    _vjp_fwd) — the kernel then skips its qkv/softmax recompute."""
     b, nw, n, c = x.shape
     dt = x.dtype
     g_count, chunk = _pick_head_groups(nw, n, c, heads,
@@ -408,7 +550,8 @@ def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
         bqkv_g = jnp.concatenate([bqkv[sl], bqkv[c:][sl], bqkv[2 * c:][sl]])
         outs = _fused_bwd_group(x, wqkv_g, bqkv_g, wproj[sl, :],
                                 bias[gi * hpg:(gi + 1) * hpg], mask, g,
-                                hpg, scale, chunk)
+                                hpg, scale, chunk,
+                                saved=saved, gi=gi, w=w)
         dx_g, dwq, dwk, dwv, dwp, dbq, dbk, dbv, dbp_g, dbias = outs
         dx = dx_g if dx is None else dx + dx_g
         dwq_p.append(dwq)
@@ -431,12 +574,17 @@ def _fused_bwd(x, wqkv, bqkv, wproj, bias, mask, g, heads, scale):
 
 
 def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
-                     ch):
+                     ch, saved=None, gi: int = 0, w: int = 0):
     """One head-group backward call. wqkv_g: (C, 3*cq); wp_g: (cq, C);
     bias: (heads, N, N) for this group's heads; ch: the window-chunk size
     chosen by _pick_head_groups (which may come from the 13.5 MB retry
     tier, so it must be threaded through, not re-picked at the default
-    budget). Returns per-part grads."""
+    budget). Returns per-part grads.
+
+    saved: optional (q, k, v, p) residuals from the taped forward —
+    routes to _bwd_kernel_resid (no recompute, no bias/mask inputs).
+    gi/w: this group's index and lane width inside the full-width saved
+    tensors."""
     b, nw, n, c = x.shape
     dt = x.dtype
     cq = wqkv_g.shape[1] // 3
@@ -452,6 +600,9 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
                                    memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    if saved is not None:
+        return _fused_bwd_group_resid(xm, gm, wq, wk, wv, wp, saved, gi, w,
+                                      b, nw, n, c, cq, heads, scale, ch, dt)
     in_specs = [blk, blk, const(wq), const(wk), const(wv), const(bq),
                 const(bk), const(bv), const(wp), const(bias)]
     args = [xm, gm, wq, wk, wv, bq, bk, bv, wp, bias]
@@ -513,6 +664,83 @@ def _fused_bwd_group(x, wqkv_g, bqkv_g, wp_g, bias, mask, g, heads, scale,
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=b * nw * heads * n * n,
             bytes_accessed=3 * x.size * x.dtype.itemsize),
+    )(*args)
+    dx = dx_and_grads[0].reshape(b, nw, n, c)
+    return (dx,) + tuple(dx_and_grads[1:])
+
+
+def _fused_bwd_group_resid(xm, gm, wq, wk, wv, wp, saved, gi, w,
+                           b, nw, n, c, cq, heads, scale, ch, dt):
+    """Residual-mode group backward pallas_call (see _bwd_kernel_resid).
+
+    The saved q/k/v are full-width (m, n, C); when this group's lane
+    width is 128-aligned the BlockSpec itself slices the group's columns
+    (no extra DMA traffic), otherwise the kernel fetches the full width
+    and lane-slices statically (G× redundant reads — only hit by
+    hd-misaligned groupings, none of the shipped image stages)."""
+    q_sav, k_sav, v_sav, p_sav = saved
+    m = b * nw
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if w % 128 == 0:
+        qkv_spec = pl.BlockSpec((ch, n, w), lambda i, _g=gi: (i, 0, _g),
+                                memory_space=pltpu.VMEM)
+        lane_off = 0
+    else:
+        qkv_spec = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        lane_off = gi * w
+    hpg = heads
+    p_spec = pl.BlockSpec((ch, hpg, n, n), lambda i, _g=gi: (i, _g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [blk, blk, const(wq), const(wk), const(wv), const(wp),
+                qkv_spec, qkv_spec, qkv_spec, p_spec]
+    args = [xm, gm, wq, wk, wv, wp, q_sav, k_sav, v_sav, p_sav]
+
+    fat = _use_fat_gemm(c)
+    if fat:
+        kernel = functools.partial(_bwd_kernel_resid, heads=heads,
+                                   scale=scale, lane_off=lane_off)
+    else:
+        def kernel(*refs):
+            _bwd_kernel_resid(*refs, None, None, None, None,
+                              heads=heads, scale=scale, lane_off=lane_off)
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n, c), dt),        # dx
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwq
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwk
+        jax.ShapeDtypeStruct((c, cq), f32),         # dwv
+        jax.ShapeDtypeStruct((cq, c), f32),         # dwp
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbq
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbk
+        jax.ShapeDtypeStruct((1, cq), f32),         # dbv
+        jax.ShapeDtypeStruct((1, c), f32),          # dbp
+        jax.ShapeDtypeStruct((heads, n, n), f32),   # dbias
+    ]
+    cc = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                  memory_space=pltpu.VMEM)
+    out_specs = [blk, cc((c, cq)), cc((c, cq)), cc((c, cq)), cc((cq, c)),
+                 cc((1, cq)), cc((1, cq)), cc((1, cq)), cc((1, c)),
+                 cc((heads, n, n))]
+    flops = 2 * b * nw * (3 * n * c * cq * 2      # dx/dw GEMMs + dattn
+                          + 6 * heads * n * n * (cq // heads))
+    dx_and_grads = pl.pallas_call(
+        kernel,
+        grid=(m // ch,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=([pltpu.VMEM((ch * n, cq), dt)] * 4  # o/dq/dk/dv
+                        if fat else []),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=0,
+            bytes_accessed=3 * xm.size * xm.dtype.itemsize
+            + p_sav.size * p_sav.dtype.itemsize // max(
+                1, p_sav.shape[1] // hpg)),
     )(*args)
     dx = dx_and_grads[0].reshape(b, nw, n, c)
     return (dx,) + tuple(dx_and_grads[1:])
@@ -664,7 +892,7 @@ def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,
 
 def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                 cq: Optional[int] = None, m: Optional[int] = None,
-                masked: bool = True) -> int:
+                masked: bool = True, save: bool = False) -> int:
     """Largest window-chunk size whose per-step VMEM footprint stays under
     the LAVT_MSA_VMEM_MB budget (16 MB VMEM minus weights, bias, and
     double-buffering).  cq: the q/k/v width covered by the call (== c
@@ -738,6 +966,14 @@ def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,
                #  separate scratch since the out-ref-as-scratch change)
                + ch * n * c * 4               # y f32 (post-proj)
                + ch * n * n * 4)              # mask block
+        if save:
+            # training-residual output blocks: q/k/v (ch, n, cq), the
+            # (ch, heads, n, n) probabilities at their tile-padded lane
+            # width (n rounds up to the 128-lane tile), and the xn block
+            # the LN-fused variant saves
+            n_pad = -(-n // 128) * 128
+            buf += (3 * ch * n * cq * itemsize + ch * n * c * itemsize
+                    + ch * heads * n * n_pad * itemsize)
         if buf > budget_mb * 1024 * 1024:
             continue
         if cq != c and buf + fixed > 10 * 1024 * 1024:
@@ -798,13 +1034,18 @@ def _split_weights(wqkv, bqkv, wproj, heads):
 
 def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
               heads, scale, ch, nw, out_dtype, ln=None,
-              ln_eps: float = 1e-5, exact: bool = False):
+              ln_eps: float = 1e-5, exact: bool = False,
+              save: bool = False):
     """One forward pallas_call over (possibly head-group-sliced) weights.
 
     xm: (m, n, C) windowed tokens; wq/wk/wv: (C, cq); wp: (cq, C);
     bias: (heads, N, N) for this call's heads; bproj: (C,) or None (head
     groups > 0 pass None so the projection bias is added exactly once).
-    Returns (m, n, C) in out_dtype (f32 for grouped partial sums)."""
+    Returns (m, n, C) in out_dtype (f32 for grouped partial sums); with
+    save=True, returns (out, (q, k, v, p)) where q/k/v are the bf16
+    (m, n, cq) projections (q post-scale) and p the (m, heads, n, n)
+    bf16 attention probabilities — the training residuals the fused
+    backward consumes instead of recomputing (see _vjp_fwd)."""
     m, n, c = xm.shape
     dt = xm.dtype
     cq = wq.shape[1]
@@ -859,29 +1100,56 @@ def _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
         mask_ref = refs[i] if has_mask else None
         i += int(has_mask)
         out_ref = refs[i]
+        sv = refs[i + 1:i + 6] if save else (None,) * 5
+        if save and not has_ln:
+            sv = tuple(sv[:4]) + (None,)
         _kernel(*refs[:8], bp_ref, bias_ref, mask_ref, out_ref, fat,
                 heads=heads, scale=scale, ln_s_ref=ln_s_ref,
-                ln_b_ref=ln_b_ref, ln_eps=ln_eps, exact=exact)
+                ln_b_ref=ln_b_ref, ln_eps=ln_eps, exact=exact,
+                qs_ref=sv[0], ks_ref=sv[1], vs_ref=sv[2], p_ref=sv[3],
+                xs_ref=sv[4])
 
     flops = 2 * m * (n * c * 3 * cq + 2 * heads * n * n * (cq // heads)
                      + n * cq * c)
+    out_specs = pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, n, c), out_dtype)
+    if save:
+        qkv_spec = pl.BlockSpec((ch, n, cq), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((ch, heads, n, n), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        qkv_shp = jax.ShapeDtypeStruct((m, n, cq), dt)
+        out_specs = [out_specs, qkv_spec, qkv_spec, qkv_spec, p_spec]
+        out_shape = [out_shape, qkv_shp, qkv_shp, qkv_shp,
+                     jax.ShapeDtypeStruct((m, heads, n, n), dt)]
+        if has_ln:  # also save the post-LN tokens (the MSA bwd's "x")
+            out_specs.append(pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((m, n, c), dt))
     out = pl.pallas_call(
         kernel,
         grid=(m // ch,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ch, n, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n, c), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops, transcendentals=m * heads * n * n,
             bytes_accessed=2 * xm.size * dt.itemsize
             + 4 * c * cq * 2),
     )(*args)
+    if save:
+        return out[0], tuple(out[1:])
     return out
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
-         ln_eps: float = 1e-5, exact: bool = False):
+         ln_eps: float = 1e-5, exact: bool = False, save: bool = False):
+    """save=True (training tape only): also return the (q, k, v, p)
+    residuals — q/k/v as (B*nW, N, C) bf16 (head-major lanes, q
+    post-scale) and p as (B*nW, heads, N, N) bf16 — assembled across
+    head groups so the backward can re-slice them under ANY bwd
+    grouping."""
     b, nw, n, c = x.shape
     dt = x.dtype
     itemsize = jnp.dtype(dt).itemsize
@@ -893,10 +1161,13 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
     g_count = _pick_fwd_groups(nw, n, c, heads, itemsize)
     if g_count == 1:
         ch = _pick_chunk(nw, n, c, heads, itemsize, m=m,
-                         masked=mask is not None)
+                         masked=mask is not None, save=save)
         out = _fwd_call(xm, wq, wk, wv, bq, bk, bv, wp, bproj, bias, mask,
                         heads, scale, ch, nw, dt, ln=ln, ln_eps=ln_eps,
-                        exact=exact)
+                        exact=exact, save=save)
+        if save:
+            out, saved = out
+            return out.reshape(b, nw, n, c), saved
         return out.reshape(b, nw, n, c)
 
     # Head-group split (wide stages, e.g. Swin-B stage 3 C=1024): each
@@ -908,8 +1179,9 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
     hpg = heads // g_count
     w = hpg * (c // heads)
     ch = _pick_chunk(nw, n, c, hpg, itemsize, cq=w, m=m,
-                     masked=mask is not None)
+                     masked=mask is not None, save=save)
     total = None
+    parts = []
     for gi in range(g_count):
         sl = slice(gi * w, (gi + 1) * w)
         part = _fwd_call(xm, wq[:, sl], wk[:, sl], wv[:, sl],
@@ -917,9 +1189,24 @@ def _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale, ln=None,
                          bproj if gi == 0 else None,
                          bias[gi * hpg:(gi + 1) * hpg], mask,
                          hpg, scale, ch, nw, jnp.float32, ln=ln,
-                         ln_eps=ln_eps, exact=exact)
+                         ln_eps=ln_eps, exact=exact, save=save)
+        if save:
+            part, saved_g = part
+            parts.append(saved_g)
         total = part if total is None else total + part
-    return total.astype(dt).reshape(b, nw, n, c)
+    out = total.astype(dt).reshape(b, nw, n, c)
+    if save:
+        # reassemble full-width residuals: lanes stay in head order, so
+        # any backward grouping can re-slice them; every group computes
+        # the same in-kernel LN, so xn comes from group 0
+        saved = (jnp.concatenate([p[0] for p in parts], axis=-1),
+                 jnp.concatenate([p[1] for p in parts], axis=-1),
+                 jnp.concatenate([p[2] for p in parts], axis=-1),
+                 jnp.concatenate([p[3] for p in parts], axis=1))
+        if len(parts[0]) > 4:
+            saved = saved + (parts[0][4],)
+        return out, saved
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -951,13 +1238,39 @@ def _ref_forward(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
     return jnp.einsum("bwnc,cd->bwnd", o, wproj.astype(jnp.float32)) + bproj
 
 
+def _save_residuals_ok(b, nw, n, c, heads, itemsize) -> bool:
+    """Whether the training forward should save (q, k, v, p) residuals
+    for the fused backward (skipping its recompute - measured 1.45 ->
+    ~0.9 ms/block fwd+bwd at Swin-B 480² stage 2 bs 8).
+
+    Gates: LAVT_MSA_RESIDUALS=0 disables; the fused backward must
+    actually be routable (otherwise the memory is wasted on the
+    decomposed fallback); and the saved-p tensor must stay under
+    LAVT_MSA_RESID_CAP_MB (default 192 MB per block) so video clips /
+    big batches fall back to recompute instead of exhausting HBM."""
+    if os.environ.get("LAVT_MSA_RESIDUALS", "1") == "0":
+        return False
+    if not fused_msa_bwd_supported(nw, n, c, heads, itemsize):
+        return False
+    cap = float(os.environ.get("LAVT_MSA_RESID_CAP_MB", "192"))
+    p_bytes = b * nw * heads * n * n * itemsize
+    qkv_bytes = 3 * b * nw * n * c * itemsize
+    return max(p_bytes, qkv_bytes) <= cap * 1024 * 1024
+
+
 def _vjp_fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale):
     # exact=True: the taped (training) forward uses the max-subtracted
     # softmax so it stays finite under exploding logits and matches the
     # backward recompute bitwise (see _softmax_exp).
+    b, nw, n, c = x.shape
+    if _save_residuals_ok(b, nw, n, c, heads,
+                          jnp.dtype(x.dtype).itemsize):
+        out, saved = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads,
+                          scale, exact=True, save=True)
+        return out, (x, wqkv, bqkv, wproj, bproj, bias, mask, saved)
     out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
                exact=True)
-    return out, (x, wqkv, bqkv, wproj, bproj, bias, mask)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias, mask, None)
 
 
 def _vjp_bwd(heads, scale, res, g):
@@ -970,12 +1283,12 @@ def _vjp_bwd(heads, scale, res, g):
     of integer region ids)."""
     from .window_attn import attention_core_bwd
 
-    x, wqkv, bqkv, wproj, bproj, bias, mask = res
+    x, wqkv, bqkv, wproj, bproj, bias, mask, saved = res
 
     if fused_msa_bwd_supported(x.shape[1], x.shape[2], x.shape[3], heads,
                                jnp.dtype(x.dtype).itemsize):
         dx, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd(
-            x, wqkv, bqkv, wproj, bias, mask, g, heads, scale)
+            x, wqkv, bqkv, wproj, bias, mask, g, heads, scale, saved=saved)
         return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
                 dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
                 dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
@@ -1069,18 +1382,46 @@ def fused_window_msa_ln(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 def _vjp_ln_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
                 mask, heads, scale, ln_eps):
+    b, nw, n, c = x.shape
+    if _save_residuals_ok(b, nw, n, c, heads,
+                          jnp.dtype(x.dtype).itemsize):
+        out, saved = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads,
+                          scale, ln=(ln_scale, ln_bias), ln_eps=ln_eps,
+                          exact=True, save=True)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                     mask, saved)
     out = _fwd(x, wqkv, bqkv, wproj, bproj, bias, mask, heads, scale,
                ln=(ln_scale, ln_bias), ln_eps=ln_eps, exact=True)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
-                 mask)
+                 mask, None)
 
 
 def _vjp_ln_bwd(heads, scale, ln_eps, res, g):
-    """Backward: recompute the (cheap, VPU-bound) LN in XLA and chain
-    through fused_window_msa's own custom VJP — the MSA grads still run
-    the fully fused Pallas backward; LN's backward is the only XLA part.
-    """
-    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask = res
+    """Backward.  Residual path (saved != None): the taped forward saved
+    (q, k, v, p, xn); the fused residual kernel produces the MSA grads
+    wrt the post-LN stream xn directly — NO re-forward, NO recompute —
+    and only the LN backward chains in XLA (a cheap fused
+    elementwise+reduce over x).  Fallback: recompute the LN in XLA and
+    chain through fused_window_msa's own custom VJP (which re-runs the
+    forward to rebuild its own tape)."""
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask = res[:9]
+    saved = res[9]
+
+    if saved is not None:
+        b, nw, n, c = x.shape
+        xn = saved[4].reshape(b, nw, n, c)
+        dxn, dwqkv, dbqkv, dwproj, dbproj, dbias = _fused_bwd(
+            xn, wqkv, bqkv, wproj, bias, mask, g, heads, scale,
+            saved=saved[:4])
+        _, ln_vjp = jax.vjp(
+            lambda xx, s, bb: layer_norm_f32(xx, s, bb, ln_eps),
+            x, ln_scale, ln_bias)
+        dx, dls, dlb = ln_vjp(dxn.astype(xn.dtype))
+        return (dx.astype(x.dtype), dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bproj.dtype), dbias.astype(bias.dtype),
+                None if mask is None else jnp.zeros_like(mask))
 
     def f(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias):
         xn = layer_norm_f32(x, ln_scale, ln_bias, ln_eps)

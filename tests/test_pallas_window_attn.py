@@ -537,3 +537,58 @@ def test_swin_block_ln_in_kernel_matches_xla(rng):
             jax.tree_util.tree_structure(v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_msa_grads_residual_vs_recompute(rng, monkeypatch):
+    """The residual-consuming backward (q/k/v/p saved by the taped
+    forward, _bwd_kernel_resid) must produce the same grads as the
+    recompute backward (LAVT_MSA_RESIDUALS=0), for both the plain and
+    the LN-fused entry points, with and without a shift mask."""
+    import lavt_rs_tpu.ops.pallas.fused_msa as fm
+
+    b, nw, n, c, h = 2, 4, 16, 64, 2
+    x = jnp.asarray(rng.standard_normal((b, nw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(
+        rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.2)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32))
+    wproj = jnp.asarray(
+        rng.standard_normal((c, c)).astype(np.float32) * 0.2)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    ls = jnp.asarray(1 + 0.1 * rng.standard_normal((c,)).astype(np.float32))
+    lb = jnp.asarray(0.1 * rng.standard_normal((c,)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.choice([0.0, -100.0], (nw, n, n)).astype(np.float32))
+    scale = (c // h) ** -0.5
+
+    def grads(kind, msk):
+        def loss(x, wqkv, bqkv, wproj, bias, ls, lb):
+            with pltpu.force_tpu_interpret_mode():
+                if kind == "ln":
+                    y = fm.fused_window_msa_ln(x, ls, lb, wqkv, bqkv,
+                                               wproj, bproj, bias, msk,
+                                               h, scale)
+                else:
+                    y = fm.fused_window_msa(x, wqkv, bqkv, wproj, bproj,
+                                            bias, msk, h, scale)
+            return (y ** 2).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            return jax.grad(loss, argnums=tuple(range(7)))(
+                x, wqkv, bqkv, wproj, bias, ls, lb)
+
+    for kind in ("plain", "ln"):
+        for msk in (None, mask):
+            monkeypatch.delenv("LAVT_MSA_RESIDUALS", raising=False)
+            assert fm._save_residuals_ok(b, nw, n, c, h, 4)
+            g_res = grads(kind, msk)
+            monkeypatch.setenv("LAVT_MSA_RESIDUALS", "0")
+            g_rec = grads(kind, msk)
+            monkeypatch.delenv("LAVT_MSA_RESIDUALS", raising=False)
+            for a, b_ in zip(g_res, g_rec):
+                # 1e-3 like the ref-grads tests: the two paths differ
+                # only in f32 accumulation order (saved vs recomputed
+                # intermediates), worth ~2e-4 relative on dwqkv/dbqkv
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3,
+                    err_msg=f"kind={kind} mask={msk is not None}")
