@@ -154,6 +154,31 @@ def main():
         if ips > best_ips:
             best_ips, best_bs = ips, bs
 
+        if bs > 8:
+            # serving-grade large-batch path: chained micro-batches of 8
+            # inside one jitted program (eval/microbatch.py) — XLA's
+            # large-batch compilation is measurably SLOWER per image
+            # (gather emitter, fusion choices), so big offline batches
+            # should run at the measured-optimal micro-batch
+            from lavt_rs_tpu.eval.microbatch import microbatched
+
+            mb_sum = jax.jit(microbatched(
+                lambda v, *a: model.apply(v, *a), 8))
+            fwd_sum = jax.jit(
+                lambda v, *a, _f=mb_sum: _f(v, *a).sum())
+            t0 = time.perf_counter()
+            float(fwd_sum(variables, img, ids, mask))
+            log(f"bs={bs} microbatched compile+first: "
+                f"{time.perf_counter() - t0:.1f}s")
+            t1 = run(1)
+            tn = run(n_iter + 1)
+            dt = max((tn - t1) / n_iter, 1e-9)
+            ips = bs / dt
+            log(f"bs={bs} (microbatched 8x{bs // 8}): {dt * 1000:.1f} "
+                f"ms/step marginal, {ips:.2f} images/sec")
+            if ips > best_ips:
+                best_ips, best_bs = ips, bs
+
     try:
         cpu_ips = get_cpu_baseline()
     except Exception as e:  # baseline measurement must never kill the bench

@@ -298,7 +298,7 @@ class SwinBlock(nn.Module):
                              name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
-        take_part = use_take_partition()
+        take_part = use_take_partition(b)
         if (pad_b or pad_r) and not take_part:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r

@@ -65,7 +65,7 @@ def _shifted_partition_idx_np(hp: int, wp: int, ws: int, ss: int):
     return fwd, inv
 
 
-def _partition_impl() -> str:
+def _partition_impl(b: int = None) -> str:
     """Formulation for the shift+partition permutation (measured, v5e):
 
     - "take" (batched axis-1 gather): one HBM pass; the measured winner
@@ -77,21 +77,41 @@ def _partition_impl() -> str:
     - "transpose" (roll + reshape + 6-D transpose): 2 HBM passes for
       shifted blocks, but pure tiled copies.
 
-    LAVT_PARTITION_IMPL overrides ("take"/"flat"/"transpose");
-    "auto" (default) = take."""
+    b: the trace-time batch size, for LAVT_TAKE_PARTITION_MAX_BS routing
+    ("take" up to the threshold, "transpose" above).  The threshold
+    DEFAULTS OFF (huge): although the isolated round-trip A/B at bs 32
+    favors transpose (take 1.62 ms vs transpose 1.36 ms at stage 1,
+    0.32 vs 0.17 at the padded stage-3 geometry,
+    tools/bench_partition.py — the batched-gather emitter degrades to
+    ~1/3 of HBM roofline there), the e2e bs-32 bench LOSES with the
+    transpose route (135.3 vs 127.9 ms/step, round 5): in-graph, the
+    take gather fuses with the neighboring convert/normalize passes
+    while roll+transpose adds unfused copies.  Large-batch serving
+    should micro-batch instead (eval/microbatch.py).
+
+    LAVT_PARTITION_IMPL overrides ("take"/"flat"/"transpose") for every
+    batch; NOTE the padded gathers (partition_shifted_padded) route
+    "flat" to the batched take — flat would need per-image sentinel
+    offsets and already measured a loss on the unpadded stages."""
     impl = os.environ.get("LAVT_PARTITION_IMPL", "auto")
     if os.environ.get("LAVT_TAKE_PARTITION", "1") == "0":  # legacy hatch
         return "transpose"
-    return "take" if impl == "auto" else impl
+    if impl != "auto":
+        return impl
+    max_bs = int(os.environ.get("LAVT_TAKE_PARTITION_MAX_BS", "1000000"))
+    if b is not None and b > max_bs:
+        return "transpose"
+    return "take"
 
 
-def use_take_partition() -> bool:
+def use_take_partition(b: int = None) -> bool:
     """Single source of truth for the gather-vs-transpose routing: True
     unless the legacy LAVT_TAKE_PARTITION=0 hatch (or
-    LAVT_PARTITION_IMPL=transpose) forces the roll+6D-transpose path.
-    SwinBlock gates its pre-pad on this, so it must agree with
-    _partition_impl."""
-    return _partition_impl() != "transpose"
+    LAVT_PARTITION_IMPL=transpose, or a batch above the auto-routing
+    threshold) forces the roll+6D-transpose path.  SwinBlock gates its
+    pre-pad on this, so it must agree with _partition_impl — pass the
+    same trace-time batch size the partition calls will see."""
+    return _partition_impl(b) != "transpose"
 
 
 @functools.lru_cache(maxsize=32)
@@ -114,7 +134,7 @@ def partition_shifted(x: jnp.ndarray, ws: int, ss: int) -> jnp.ndarray:
     """
     b, hp, wp, c = x.shape
     nw = (hp // ws) * (wp // ws)
-    impl = _partition_impl()
+    impl = _partition_impl(b)
     if impl == "transpose":
         if ss:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
@@ -158,7 +178,7 @@ def reverse_shifted(xw: jnp.ndarray, ws: int, ss: int,
     """Inverse of partition_shifted: (B, nW, ws*ws, C) -> (B, Hp, Wp, C).
     Same permutation argument for the custom VJP."""
     b, nw, n, c = xw.shape
-    impl = _partition_impl()
+    impl = _partition_impl(b)
     if impl == "transpose":
         x = window_reverse(xw.reshape(b * nw, n, c), ws, hp, wp)
         if ss:
@@ -206,8 +226,16 @@ def partition_shifted_padded(x: jnp.ndarray, ws: int, ss: int,
     outputs carry no gradient (their cotangent lands on the appended row
     and is dropped), matching jnp.pad's transpose exactly."""
     b, h, w, c = x.shape
-    fwd, _ = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
     nw = (hp // ws) * (wp // ws)
+    if _partition_impl(b) == "transpose":
+        # big-batch route (see _partition_impl): explicit pad + roll +
+        # 6-D transpose — one extra tiled pass, but it dodges the
+        # batched-gather emitter entirely
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        if ss:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        return window_partition(x, ws).reshape(b, nw, ws * ws, c)
+    fwd, _ = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
     xa = jnp.concatenate(
         [x.reshape(b, h * w, c), jnp.zeros((b, 1, c), x.dtype)], axis=1)
     return _batched_take(xa, jnp.asarray(fwd), _partition_impl()).reshape(
@@ -220,6 +248,11 @@ def reverse_shifted_unpadded(xw: jnp.ndarray, ws: int, ss: int,
     """Inverse of partition_shifted_padded: (B, nW, ws*ws, C) ->
     (B, H, W, C), dropping pad positions in the same gather."""
     b, nw, n, c = xw.shape
+    if _partition_impl(b) == "transpose":
+        x = window_reverse(xw.reshape(b * nw, n, c), ws, hp, wp)
+        if ss:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        return x[:, :h, :w, :]
     _, inv = _padded_partition_idx_np(h, w, hp, wp, ws, ss)
     return _batched_take(xw.reshape(b, hp * wp, c), jnp.asarray(inv),
                          _partition_impl()).reshape(b, h, w, c)

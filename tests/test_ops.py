@@ -325,3 +325,39 @@ def test_partition_shifted_padded_matches_pad_then_partition():
         gr_new = jax.grad(lambda t: (reverse_shifted_unpadded(
             t, ws, ss, hp, wp, h, w) * x).sum())(yw)
         np.testing.assert_array_equal(np.asarray(gr_ref), np.asarray(gr_new))
+
+
+def test_microbatched_matches_plain():
+    """eval/microbatch.py: chained micro-batches inside one jit must
+    equal the plain batched apply (serving-grade large-batch path; XLA
+    compiles large batches measurably slower per image on TPU)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lavt_rs_tpu.config import lavt_one_tiny
+    from lavt_rs_tpu.eval.microbatch import microbatched
+    from lavt_rs_tpu.models.factory import build_model
+
+    cfg = lavt_one_tiny().replace(img_size=64, max_tokens=6)
+    cfg = cfg.replace(bert=dataclasses.replace(cfg.bert, num_layers=1))
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(100, 2000, (4, 6)), jnp.int32)
+    msk = jnp.ones((4, 6), jnp.int32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), img[:1], ids[:1],
+                            msk[:1])
+    plain = jax.jit(lambda v, *a: model.apply(v, *a))(v, img, ids, msk)
+    mb = jax.jit(microbatched(lambda v, *a: model.apply(v, *a), 2))(
+        v, img, ids, msk)
+    assert mb.shape == plain.shape
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
+    # non-multiple batches fall through to the plain path unchanged
+    mb3 = jax.jit(microbatched(lambda v, *a: model.apply(v, *a), 3))(
+        v, img, ids, msk)
+    np.testing.assert_allclose(np.asarray(mb3), np.asarray(plain),
+                               rtol=2e-5, atol=2e-5)
