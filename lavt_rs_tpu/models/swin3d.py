@@ -54,10 +54,19 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic: bool = True):
-        """x: (B, nW, N, C) where N = prod(actual window)."""
+    def __call__(self, x, mask=None, *, deterministic: bool = True,
+                 groups: Optional[int] = None, n_real: Optional[int] = None):
+        """x: (B, nW, N, C) where N = prod(actual window).
+
+        groups/n_real: the GROUPED fused route (see SwinBlock3D) — x is
+        then the sublane-padded (B, nW, n_p, C) stream with windows
+        permuted unmasked-first, `groups` the unmasked-prefix length,
+        `mask` the (nW-groups, n_p, n_p) small mask, and `n_real` the
+        true token count (bias is built at n_real and sublane-padded)."""
         b, nw, n, c = x.shape
         h = self.num_heads
+        if groups is not None:
+            n = n_real  # bias/table fold run at the REAL window size
         wd, wh, ww = self.window_size
         table = self.param(
             "relative_position_bias_table", trunc_normal_init,
@@ -88,6 +97,31 @@ class WindowAttention3D(nn.Module):
         # takes this branch.  Window (8,12,12)'s n=1152 busts the VMEM
         # gates either way (support-gated inside window_attention).
         from ..ops.pallas.fused_msa import fused_msa_padded_routed
+
+        if groups is not None:
+            # GROUPED fused route (see SwinBlock3D + fused3d_grouped_routed):
+            # x arrives sublane-padded and unmasked-first; run the big
+            # unmasked prefix maskless and the boundary windows with the
+            # small mask — the only mask that ever materializes.
+            from ..ops.pallas.fused_msa import (fused_window_msa,
+                                                pad_bias_sublane)
+            from .swin2d import _DenseParams
+
+            wqkv, bqkv = _DenseParams(3 * c, c, self.qkv_bias, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, True, name="proj")()
+            n_p = x.shape[2]
+            bias_p = pad_bias_sublane(bias, n_p)
+            outs = []
+            if groups > 0:
+                outs.append(fused_window_msa(
+                    x[:, :groups], wqkv, bqkv, wproj, bproj, bias_p, None,
+                    h, float(scale)))
+            if groups < nw:
+                outs.append(fused_window_msa(
+                    x[:, groups:], wqkv, bqkv, wproj, bproj, bias_p, mask,
+                    h, float(scale)))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(
+                outs, axis=1)
 
         if (self.use_pallas
                 and fused_msa_padded_routed(nw, n, c, h,
@@ -136,29 +170,61 @@ class SwinBlock3D(nn.Module):
         pad_d = (ws[0] - d % ws[0]) % ws[0]
         pad_b = (ws[1] - h % ws[1]) % ws[1]
         pad_r = (ws[2] - w % ws[2]) % ws[2]
-        if pad_d or pad_b or pad_r:
-            y = jnp.pad(y, ((0, 0), (0, pad_d), (0, pad_b), (0, pad_r),
-                            (0, 0)))
         dp, hp, wp = d + pad_d, h + pad_b, w + pad_r
-
-        if any(ss):
-            y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
-        mask = shift_mask_3d(dp, hp, wp, ws, ss)
-
         nw = (dp // ws[0]) * (hp // ws[1]) * (wp // ws[2])
         n = ws[0] * ws[1] * ws[2]
-        yw = window_partition_3d(y, ws).reshape(b, nw, n, c)
-        yw = WindowAttention3D(
+
+        from ..ops.pallas.fused_msa import (_sublane_pad,
+                                            fused3d_grouped_routed)
+
+        attn = WindowAttention3D(
             dim=c, window_size=self.window_size, num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            use_pallas=self.use_pallas, dtype=self.dtype,
-            name="attn")(yw, mask=mask, deterministic=deterministic)
-        y = window_reverse_3d(yw.reshape(b * nw, n, c), ws, dp, hp, wp)
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn")
 
-        if any(ss):
-            y = jnp.roll(y, shift=ss, axis=(1, 2, 3))
-        if pad_d or pad_b or pad_r:
-            y = y[:, :d, :h, :w, :]
+        import os as _os
+
+        if (self.use_pallas
+                and (deterministic
+                     or _os.environ.get("LAVT_FUSED3D_TRAIN") == "1")
+                and fused3d_grouped_routed(
+                    nw, n, c, self.num_heads,
+                    jnp.dtype(self.dtype).itemsize)):
+            # GROUPED fused route: pad + shift + partition + sublane
+            # token-pad as ONE gather with windows permuted
+            # unmasked-first (ops/window.py), so the kernel runs
+            # maskless on the interior and with a boundary-windows-only
+            # mask — never materializing the full (nW, N, N) mask
+            # (~200 MB at 480² clips) nor the padded/rolled copies.
+            from ..ops.window import (partition_3d_groups,
+                                      partition_shifted_padded_3d,
+                                      reverse_shifted_unpadded_3d)
+
+            n_p = _sublane_pad(n, jnp.dtype(self.dtype).itemsize)
+            nu, mask_small = partition_3d_groups(d, h, w, dp, hp, wp, ws,
+                                                 ss, n_p)
+            yw = partition_shifted_padded_3d(y, ws, ss, dp, hp, wp, n_p)
+            yw = attn(yw, mask=mask_small, deterministic=deterministic,
+                      groups=nu, n_real=n)
+            y = reverse_shifted_unpadded_3d(yw, ws, ss, dp, hp, wp,
+                                            d, h, w, n_p)
+        else:
+            if pad_d or pad_b or pad_r:
+                y = jnp.pad(y, ((0, 0), (0, pad_d), (0, pad_b),
+                                (0, pad_r), (0, 0)))
+            if any(ss):
+                y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]),
+                             axis=(1, 2, 3))
+            mask = shift_mask_3d(dp, hp, wp, ws, ss)
+
+            yw = window_partition_3d(y, ws).reshape(b, nw, n, c)
+            yw = attn(yw, mask=mask, deterministic=deterministic)
+            y = window_reverse_3d(yw.reshape(b * nw, n, c), ws, dp, hp, wp)
+
+            if any(ss):
+                y = jnp.roll(y, shift=ss, axis=(1, 2, 3))
+            if pad_d or pad_b or pad_r:
+                y = y[:, :d, :h, :w, :]
 
         rng = self.make_rng("dropout") if (
             not deterministic and self.drop_path_rate > 0) else None

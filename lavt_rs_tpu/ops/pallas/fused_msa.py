@@ -853,6 +853,41 @@ def fused_msa_padded_routed(nw: int, n: int, c: int, heads: int,
     return fused_msa_padded_supported(nw, n, c, heads, itemsize)
 
 
+def fused3d_grouped_routed(nw: int, n: int, c: int, heads: int,
+                           itemsize: int = 2) -> bool:
+    """Routing policy for the GROUPED 3D fused path (round 5): the
+    block partitions with ops/window.partition_shifted_padded_3d (pad +
+    shift + window + sublane token-pad as one gather, windows permuted
+    unmasked-first) and runs the fused kernel maskless on the big
+    unmasked group plus a small-mask call on the boundary windows —
+    killing the two costs that sank the round-4 all-routed A/B (the
+    ~200 MB full shift-mask materialization and the pad/roll/transpose
+    relays around the kernel).
+
+    LAVT_FUSED3D: "1"/"all" routes every supported geometry, a comma
+    list of channel counts routes those widths, "0"/"off" routes
+    nothing.  Measured default (v5e, A2D Swin-T 480² 8-frame clips,
+    round 5): "96" — the stage-1 swap is a clean local win (38.4 ->
+    35.4 ms/clip inference), but routing the deeper widths makes XLA's
+    global layout assignment recompile the NEIGHBORING TPWAM fusion
+    convs 3.5x slower (width-192 leg: stage-0 fusion convs 1.7 -> 9.0
+    ms despite being untouched), so 96,192 measures 49.6 and all-stages
+    57.0 ms/clip.  The caller additionally gates on deterministic
+    (inference): the TRAIN step measured 154.7 -> 184.8 ms/clip with 96
+    routed (gather VJP passes + the recompute backward at C=96 outweigh
+    the forward win); LAVT_FUSED3D_TRAIN=1 forces it for A/B."""
+    env = os.environ.get("LAVT_FUSED3D", "96")
+    if env in ("off", "0", ""):
+        return False
+    if env not in ("1", "all") and str(c) not in env.split(","):
+        return False
+    n_p = _sublane_pad(n, itemsize)
+    if (n_p / n) ** 2 > 1.10:
+        return False  # padding tax (e.g. 2D window-7, 49 -> 64)
+    return _pick_fwd_groups(nw, n_p, c, heads, itemsize) is not None and \
+        fused_msa_bwd_supported(nw, n_p, c, heads, itemsize)
+
+
 def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,
                             heads: int, scale: float):
     """fused_window_msa for sublane-misaligned window sizes.
@@ -878,16 +913,29 @@ def fused_window_msa_padded(x, wqkv, bqkv, wproj, bproj, bias, mask,
     n_p = _sublane_pad(n, jnp.dtype(x.dtype).itemsize)
     p = n_p - n
     x_p = jnp.pad(x, ((0, 0), (0, 0), (0, p), (0, 0)))
-    bias_p = jnp.pad(bias, ((0, 0), (0, p), (0, p)))
-    # mask padded keys out for every (real or padded) query row
-    bias_p = jnp.concatenate(
-        [bias_p[:, :, :n],
-         jnp.full((heads, n_p, p), -1e9, bias_p.dtype)], axis=2)
+    bias_p = pad_bias_sublane(bias, n_p)
     mask_p = None if mask is None else jnp.pad(
         mask, ((0, 0), (0, p), (0, p)))
     y = fused_window_msa(x_p, wqkv, bqkv, wproj, bproj, bias_p, mask_p,
                          heads, scale)
     return y[:, :, :n, :]
+
+
+def pad_bias_sublane(bias, n_p: int):
+    """Pad an (h, N, N) bias to (h, n_p, n_p) with -1e9 on the padded
+    KEY columns (their softmax weight underflows to exactly 0 in f32) —
+    the bias half of the sublane-padding trick, shared by
+    fused_window_msa_padded and the grouped 3D partition route (which
+    folds the token pad into its gather and so never calls jnp.pad on
+    x itself)."""
+    heads, n, _ = bias.shape
+    p = n_p - n
+    if p == 0:
+        return bias
+    bias_p = jnp.pad(bias, ((0, 0), (0, p), (0, p)))
+    return jnp.concatenate(
+        [bias_p[:, :, :n],
+         jnp.full((heads, n_p, p), -1e9, bias_p.dtype)], axis=2)
 
 
 def _pick_chunk(nw: int, n: int, c: int, heads: int, itemsize: int,

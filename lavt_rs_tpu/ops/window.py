@@ -476,6 +476,147 @@ def shift_mask_3d(dp: int, hp: int, wp: int, ws, ss) -> Optional[jnp.ndarray]:
     return _ids_to_mask(_shift_region_ids_3d_np(dp, hp, wp, ws, ss))
 
 
+@functools.lru_cache(maxsize=32)
+def _grouped_padded_partition_idx_3d_np(d: int, h: int, w: int,
+                                        dp: int, hp: int, wp: int,
+                                        ws: Tuple[int, int, int],
+                                        ss: Tuple[int, int, int],
+                                        n_p: int):
+    """Index arrays for the 3D fused-attention fast path: spatial
+    zero-pad + cyclic shift + window partition + SUBLANE token pad
+    (n -> n_p) folded into ONE gather, with the windows PERMUTED so all
+    unmasked windows (shift mask identically zero) come first.
+
+    The permutation is what makes the fused kernel affordable for video:
+    the full (nW, N, N) shift mask at 480² clips is ~200 MB — but only
+    the windows crossing a shift boundary (e.g. 35 of 324 at stage 1)
+    need one, so the partition orders [unmasked..., masked...] and the
+    caller runs a maskless kernel call on the big group and a small-mask
+    call on the rest (reference mask semantics:
+    video_swin_transformer.py compute_mask / window partition at
+    :171-273, reproduced exactly — same additive -100 mask values).
+
+    Returns (fwd, inv, nu, ids_masked):
+      fwd (nw*n_p,) int32 — indices into the flat (d*h*w) source, with
+        every pad/sublane-pad position mapped to the sentinel d*h*w
+        (callers append one zero row);
+      inv (d*h*w,) int32 — indices into the permuted windowed
+        (nw*n_p) stream selecting each real position (reverse+unpad);
+      nu — number of unmasked windows (they form the prefix);
+      ids_masked (nw-nu, n) — region ids of the masked windows (build
+        the small masks with _ids_to_mask)."""
+    wd, wh, ww = ws
+    n = wd * wh * ww
+    nw = (dp // wd) * (hp // wh) * (wp // ww)
+    di, hi, wi, i, j, k = np.meshgrid(
+        np.arange(dp // wd), np.arange(hp // wh), np.arange(wp // ww),
+        np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    sd = (di * wd + i + ss[0]) % dp
+    sh = (hi * wh + j + ss[1]) % hp
+    sw = (wi * ww + k + ss[2]) % wp
+    real = (sd < d) & (sh < h) & (sw < w)
+    src = np.where(real, (sd * h + sh) * w + sw, d * h * w).astype(np.int32)
+    src = src.reshape(nw, n)
+    real = real.reshape(nw, n)
+
+    if any(ss):
+        ids = _shift_region_ids_3d_np(dp, hp, wp, ws, ss)  # (nw, n)
+        masked = np.array([len(np.unique(r)) > 1 for r in ids])
+    else:
+        ids = np.zeros((nw, n), np.int32)
+        masked = np.zeros((nw,), bool)
+    perm = np.concatenate([np.nonzero(~masked)[0], np.nonzero(masked)[0]])
+    nu = int((~masked).sum())
+
+    src_p = src[perm]
+    real_p = real[perm]
+    pad_tokens = np.full((nw, n_p - n), d * h * w, np.int32)
+    fwd = np.concatenate([src_p, pad_tokens], axis=1).reshape(-1)
+
+    inv = np.empty(d * h * w, np.int32)
+    wpos, tpos = np.nonzero(real_p)
+    inv[src_p[real_p]] = (wpos * n_p + tpos).astype(np.int32)
+    return (np.ascontiguousarray(fwd), np.ascontiguousarray(inv), nu,
+            np.ascontiguousarray(ids[perm[nu:]]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def partition_shifted_padded_3d(x: jnp.ndarray, ws, ss,
+                                dp: int, hp: int, wp: int,
+                                n_p: int) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, nW, n_p, C): 3D pad + shift + partition +
+    sublane token-pad as ONE gather, windows permuted unmasked-first
+    (see _grouped_padded_partition_idx_3d_np; query group sizes with
+    partition_3d_groups).  custom VJP: real positions are a permutation,
+    pad rows carry no gradient."""
+    b, d, h, w, c = x.shape
+    fwd, _, _, _ = _grouped_padded_partition_idx_3d_np(
+        d, h, w, dp, hp, wp, tuple(ws), tuple(ss), n_p)
+    nw = (dp // ws[0]) * (hp // ws[1]) * (wp // ws[2])
+    xa = jnp.concatenate(
+        [x.reshape(b, d * h * w, c), jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    return _batched_take(xa, jnp.asarray(fwd), _partition_impl(b)).reshape(
+        b, nw, n_p, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def reverse_shifted_unpadded_3d(xw: jnp.ndarray, ws, ss,
+                                dp: int, hp: int, wp: int,
+                                d: int, h: int, w: int,
+                                n_p: int) -> jnp.ndarray:
+    """Inverse of partition_shifted_padded_3d:
+    (B, nW, n_p, C) -> (B, D, H, W, C)."""
+    b, nw, _, c = xw.shape
+    _, inv, _, _ = _grouped_padded_partition_idx_3d_np(
+        d, h, w, dp, hp, wp, tuple(ws), tuple(ss), n_p)
+    return _batched_take(xw.reshape(b, nw * n_p, c), jnp.asarray(inv),
+                         _partition_impl(b)).reshape(b, d, h, w, c)
+
+
+def _partition_3d_fwd(x, ws, ss, dp, hp, wp, n_p):
+    return partition_shifted_padded_3d(x, ws, ss, dp, hp, wp, n_p), x.shape
+
+
+def _partition_3d_bwd(ws, ss, dp, hp, wp, n_p, shape, g):
+    b, d, h, w, c = shape
+    return (reverse_shifted_unpadded_3d(g, ws, ss, dp, hp, wp, d, h, w,
+                                        n_p),)
+
+
+partition_shifted_padded_3d.defvjp(_partition_3d_fwd, _partition_3d_bwd)
+
+
+def _reverse_3d_fwd(xw, ws, ss, dp, hp, wp, d, h, w, n_p):
+    return reverse_shifted_unpadded_3d(xw, ws, ss, dp, hp, wp, d, h, w,
+                                       n_p), None
+
+
+def _reverse_3d_bwd(ws, ss, dp, hp, wp, d, h, w, n_p, _, g):
+    return (partition_shifted_padded_3d(g, ws, ss, dp, hp, wp, n_p),)
+
+
+reverse_shifted_unpadded_3d.defvjp(_reverse_3d_fwd, _reverse_3d_bwd)
+
+
+def partition_3d_groups(d: int, h: int, w: int, dp: int, hp: int, wp: int,
+                        ws, ss, n_p: int):
+    """(nu, mask_small or None) for the grouped 3D partition ordering:
+    nu = unmasked-window count (prefix), mask_small = (nW-nu, n_p, n_p)
+    additive mask for the masked suffix (built on device from the id
+    constants, like shift_mask_3d; zero-padded to the sublane size —
+    padded KEYS are killed by the -1e9 bias columns, padded QUERY rows
+    compute garbage the reverse gather drops)."""
+    _, _, nu, ids_masked = _grouped_padded_partition_idx_3d_np(
+        d, h, w, dp, hp, wp, tuple(ws), tuple(ss), n_p)
+    if ids_masked.shape[0] == 0:
+        return nu, None
+    m = _ids_to_mask(ids_masked)
+    p = n_p - m.shape[1]
+    if p:
+        m = jnp.pad(m, ((0, 0), (0, p), (0, p)))
+    return nu, m
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def relative_bias_from_table_3d(table, wd: int, wh: int, ww: int, n: int):
     """(h, n, n) 3D relative-position bias, == table[idx[:n, :n]] where

@@ -592,3 +592,41 @@ def test_fused_msa_grads_residual_vs_recompute(rng, monkeypatch):
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3,
                     err_msg=f"kind={kind} mask={msk is not None}")
+
+
+def test_grouped_3d_fused_block_matches_xla(rng, monkeypatch):
+    """SwinBlock3D's grouped fused route (pad+shift+partition+sublane
+    pad as one unmasked-first gather, maskless kernel on the interior +
+    small-mask call on boundary windows) must match the XLA path —
+    outputs and input grads — for shifted, unshifted, and
+    clamped-window geometries."""
+    from lavt_rs_tpu.models.swin3d import SwinBlock3D
+
+    monkeypatch.setenv("LAVT_FUSED3D", "all")
+    for (D, H, W, wsz, shift) in [(4, 14, 14, (8, 7, 7), (4, 3, 3)),
+                                  (4, 14, 14, (8, 7, 7), (0, 0, 0)),
+                                  (2, 10, 12, (8, 7, 7), (4, 3, 3))]:
+        x = jnp.asarray(
+            rng.standard_normal((2, D, H, W, 48)).astype(np.float32))
+        blk = SwinBlock3D(dim=48, num_heads=3, window_size=wsz,
+                          shift_size=shift)
+        blk_p = SwinBlock3D(dim=48, num_heads=3, window_size=wsz,
+                            shift_size=shift, use_pallas=True)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        want = blk.apply(v, x)
+        gr = jax.grad(lambda v, x: (blk.apply(v, x) ** 2).sum(),
+                      argnums=1)(v, x)
+        with pltpu.force_tpu_interpret_mode():
+            vp = blk_p.init(jax.random.PRNGKey(0), x)
+            got = blk_p.apply(v, x)
+            monkeypatch.setenv("LAVT_FUSED3D_TRAIN", "1")
+            g = jax.grad(
+                lambda v, x: (blk_p.apply(v, x) ** 2).sum(), argnums=1)(
+                    v, x)
+            monkeypatch.delenv("LAVT_FUSED3D_TRAIN")
+        assert jax.tree_util.tree_structure(vp) == \
+            jax.tree_util.tree_structure(v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3)
