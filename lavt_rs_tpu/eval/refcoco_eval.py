@@ -86,7 +86,8 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
              pad_sentences: Optional[int] = None,
              refs_per_batch: Optional[int] = None,
              image_dtype=None, out_stream=None,
-             pipeline_depth: int = 2, cast_bf16: bool = False) -> dict:
+             pipeline_depth: int = 2, cast_bf16: bool = False,
+             shard_across_processes: bool = True) -> dict:
     """model_apply(variables, image, ids, mask) -> NHWC logits.
 
     image_dtype: ship images to the device in this dtype (pass bfloat16
@@ -94,7 +95,15 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
     halves the dominant host->device transfer on remote-attached TPUs).
 
     pipeline_depth: number of dispatched batches kept in flight before
-    blocking on the oldest result (1 = the old strictly-sequential loop)."""
+    blocking on the oldest result (1 = the old strictly-sequential loop).
+
+    shard_across_processes: under multi-host jax.distributed, each
+    process evaluates items [process_index::process_count] and the
+    sufficient statistics are all-gathered at the end (mirrors
+    cli/test_ytvos.py's video sharding; the reference shards via
+    DistributedSampler + torch.distributed all-reduce).  The per-chip
+    loop is relay-transfer-bound (~70-74 sent/s), so hosts scale it
+    near-linearly."""
     if out_stream is None:  # resolve at call time, not import time
         out_stream = sys.stderr
     metrics = SegMetrics()
@@ -124,6 +133,10 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
         smax = max(len(x) for x in ds.input_ids)
 
     n = len(ds) if max_items is None else min(len(ds), max_items)
+    if shard_across_processes and jax.process_count() > 1:
+        my_items = list(range(n))[jax.process_index()::jax.process_count()]
+    else:
+        my_items = list(range(n))
     sp0 = max(smax or 1, 1)
     # Device batch ~24 sentences: marginally slower per image on-device
     # than the bs=8 knee (tools/bench_batch_scaling.py), but the loop is
@@ -134,9 +147,9 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
     def host_batches():
         """Prepared numpy batches: (last_index, sent_counts, arrays...)."""
         buf = []
-        for i in range(n):
+        for pos, i in enumerate(my_items):
             buf.append(ds[i])
-            if len(buf) < rb and i + 1 < n:
+            if len(buf) < rb and pos + 1 < len(my_items):
                 continue
             real = len(buf)
             buf.extend([buf[-1]] * (rb - real))  # pad final batch
@@ -207,6 +220,17 @@ def evaluate(model_apply: Callable, variables, ds: ReferDataset,
             drain_one()
     while inflight:
         drain_one()
+
+    if shard_across_processes and jax.process_count() > 1:
+        # all-gather each host's sufficient statistics and rebuild
+        # global metrics (SegMetrics.merge_stats) — same totals as the
+        # reference's torch.distributed all-reduce
+        from jax.experimental import multihost_utils
+
+        rows = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(metrics.stats_row())))
+        metrics = SegMetrics()
+        metrics.merge_stats(rows)
 
     summary = metrics.summary()
     prec = " ".join(f"P@{t}={summary[f'P@{t}']:.2f}"

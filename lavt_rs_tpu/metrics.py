@@ -60,10 +60,36 @@ class SegMetrics:
 
     def summary(self) -> Dict[str, float]:
         n = max(self.n, 1)
+        sum_iou = float(np.sum(self.iou_list)) if self.iou_list else 0.0
         out = {
-            "mIoU": 100.0 * float(np.mean(self.iou_list)) if self.iou_list else 0.0,
+            "mIoU": 100.0 * sum_iou / n if self.iou_list else 0.0,
             "oIoU": 100.0 * self.cum_i / max(self.cum_u, 1e-12),
         }
         for t in PR_THRESHOLDS:
             out[f"P@{t}"] = 100.0 * self.pr_count[t] / n
         return out
+
+    def merge_stats(self, stats: np.ndarray) -> None:
+        """Fold all-gathered per-host stat rows (see stats_row) into this
+        accumulator — the multi-host reduction for a process-sharded eval
+        (the reference all-reduces via torch.distributed,
+        train.py:321-327; here hosts exchange the sufficient statistics:
+        mIoU is sum(iou)/n, so the per-item list itself never crosses
+        hosts)."""
+        for row in np.atleast_2d(np.asarray(stats, np.float64)):
+            self.cum_i += float(row[0])
+            self.cum_u += float(row[1])
+            # represent the foreign items' ious as (n-1) zeros + the
+            # remainder so len() and sum() are both exact
+            n_f, sum_f = int(row[3]), float(row[2])
+            if n_f > 0:
+                self.iou_list.extend([0.0] * (n_f - 1) + [sum_f])
+            for t, v in zip(PR_THRESHOLDS, row[4:]):
+                self.pr_count[t] += int(v)
+
+    def stats_row(self) -> np.ndarray:
+        """This host's sufficient statistics for merge_stats."""
+        return np.asarray(
+            [self.cum_i, self.cum_u, float(np.sum(self.iou_list)),
+             float(self.n)] + [float(self.pr_count[t])
+                               for t in PR_THRESHOLDS], np.float64)

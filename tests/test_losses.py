@@ -76,3 +76,31 @@ def test_batch_iou_and_accumulator(rng):
     s = m.summary()
     assert 0 <= s["mIoU"] <= 100 and 0 <= s["oIoU"] <= 100
     assert s["P@0.5"] >= s["P@0.9"]
+
+
+def test_segmetrics_shard_merge_matches_single():
+    """Multi-host eval sharding: merging per-shard sufficient statistics
+    (SegMetrics.stats_row/merge_stats, used by eval/refcoco_eval.py's
+    process sharding) reproduces the single-accumulator summary exactly
+    — oIoU, mIoU, every P@K, and n."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    inters = rng.uniform(0, 100, 37)
+    unions = inters + rng.uniform(0, 100, 37)
+    unions[5] = inters[5] = 0.0  # zero-union guard case
+
+    whole = SegMetrics()
+    whole.update(inters, unions)
+
+    shards = [SegMetrics() for _ in range(3)]
+    for i, (a, b) in enumerate(zip(inters, unions)):
+        shards[i % 3].update([a], [b])
+    rows = np.stack([s.stats_row() for s in shards])
+    merged = SegMetrics()
+    merged.merge_stats(rows)
+
+    assert merged.n == whole.n
+    sw, sm = whole.summary(), merged.summary()
+    for k in sw:
+        np.testing.assert_allclose(sm[k], sw[k], rtol=1e-12, err_msg=k)
