@@ -25,6 +25,7 @@ XLA-recompute fallback outside both gates.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -405,11 +406,31 @@ def _bwd_hsplit(x, gy, g, be, w1, b1, w2, keep_rows, groups: int):
             jnp.concatenate(db1_p), jnp.concatenate(dw2_p, axis=0), db2)
 
 
+def _bwd_budget_bytes() -> int:
+    """VMEM budget for the backward row-chunk pickers (MB).
+
+    Default 10 MB is the measured OPTIMUM, not just measured-safe:
+    the full bs-8 Swin-B train step (tools/bench_train.py, v5e) is
+    119.6 ms at 10 MB vs 125.6 at 8 MB and 154.4 at 13 MB — larger
+    row chunks starve Mosaic's double-buffering long before the 16 MB
+    scoped-memory ceiling, so the "fewer grid steps" intuition loses.
+    The LAVT_MLP_BWD_VMEM_MB override exists to re-run that A/B; like
+    LAVT_MSA_CHUNK it bypasses no Mosaic legality checks other than
+    this heuristic — it is a re-measurement hatch, not a tuning knob
+    to ship."""
+    try:
+        return int(float(os.environ.get("LAVT_MLP_BWD_VMEM_MB", "10"))
+                   * 1024 * 1024)
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def _pick_rows_bwd_split(m: int, c: int, hidden: int, groups: int,
                          itemsize: int) -> int:
     """Row chunk for the hidden-split backward (per-group weights)."""
     hg = hidden // groups
     fixed = 2 * c * hg * (itemsize + 4)
+    budget = _bwd_budget_bytes()
     best = 0
     for tc in range(8, min(m, 2048) + 1, 8):
         if m % tc:
@@ -418,7 +439,7 @@ def _pick_rows_bwd_split(m: int, c: int, hidden: int, groups: int,
                + tc * c * 4                 # dyln out block
                + 5 * tc * c * 4             # xf/xhat/xn/dmlp f32
                + 4 * tc * hg * 4)           # hpre/h/dh/dhpre f32
-        if fixed + buf <= 10 * 1024 * 1024:
+        if fixed + buf <= budget:
             best = tc
     return best
 
@@ -435,6 +456,7 @@ def _pick_rows_bwd(m: int, c: int, hidden: int, itemsize: int) -> int:
     """Row-chunk chooser for the backward kernel (~10 MB minus the
     VMEM-resident weights and grad accumulators)."""
     fixed = 2 * c * hidden * (itemsize + 4)
+    budget = _bwd_budget_bytes()
     best = 0
     for tc in range(8, min(m, 2048) + 1, 8):
         if m % tc:
@@ -442,7 +464,7 @@ def _pick_rows_bwd(m: int, c: int, hidden: int, itemsize: int) -> int:
         buf = (3 * tc * c * itemsize        # x + gy + dx blocks
                + 6 * tc * c * 4             # xf/xhat/xn/dyln/dxhat/dmlp f32
                + 4 * tc * hidden * 4)       # hpre/h/dh/dhpre f32
-        if fixed + buf <= 10 * 1024 * 1024:
+        if fixed + buf <= budget:
             best = tc
     return best
 
